@@ -1,0 +1,344 @@
+"""Matrix-free mimetic operators, element-batched for the MXU.
+
+The reference assembles global sparse PETSc matrices from per-element dense
+triple products B^T Q(J, fields) B (src/Assembly.cpp).  Here every operator is
+applied matrix-free in three steps that map directly onto TPU hardware:
+
+  gather  : global DOF vector -> element-local views  [nel, nloc]   (index gather)
+  compute : two large matmuls through the shared reference basis tables
+            [nel, nloc] @ [nloc, nq] -> pointwise metric/field weights ->
+            [nel, nq] @ [nq, nloc]                                   (MXU)
+  scatter : signed scatter-add back to the global vector             (segment sum)
+
+All metric data lives in precomputed per-quad-point tensors (geometry.py), so
+the only per-element data are diagonal weights -- the basis matmuls are shared
+across all elements and become single large GEMMs with nel as the M dimension.
+
+Incidence operators (E10/E21 and adjoints) are pure index arithmetic with +-1
+signs (src/Assembly.cpp:1415-1533) -- no metric, which is what makes the scheme
+exactly conservative.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..basis import Basis
+from ..mesh.geometry import Geometry
+from ..mesh.topology import Topology
+
+
+class SpaceOps:
+    """Bundles topology/basis/geometry arrays and exposes matrix-free operators.
+
+    All heavy arrays are jnp device arrays; methods are traceable under jit.
+    """
+
+    def __init__(self, topo: Topology, basis: Basis, geom: Geometry,
+                 dtype=jnp.float64):
+        self.topo = topo
+        self.basis = basis
+        self.p = topo.p
+        self.nel = topo.nel
+        self.n0, self.n1, self.n2 = topo.n0, topo.n1, topo.n2
+        self.n1loc = topo.n1loc
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.dtype = dtype
+
+        self.e2d0 = i(topo.e2d0)
+        self.e2d1 = i(topo.e2d1)
+        self.sgn1 = f(topo.sgn1)
+        self.e10_plus = i(topo.e10_plus)
+        self.e10_minus = i(topo.e10_minus)
+        self.e21_idx = i(topo.e21_idx)
+        self.e21_sgn = f(topo.e21_sgn)
+
+        self.B0 = f(basis.B0)    # (nq, n0loc)
+        self.B1x = f(basis.B1x)  # (nq, n1loc)
+        self.B1y = f(basis.B1y)
+        self.B2 = f(basis.B2)    # (nq, n2loc)
+        self.W = f(basis.W)      # (nq,)
+
+        self.x = f(geom.x)
+        self.lonlat = f(geom.lonlat)
+        self.J = f(geom.J)        # (nel, nq, 2, 2)
+        self.det = f(geom.det)    # (nel, nq)
+        self.wdet = f(geom.wdet)
+        self.winvdet = f(geom.winvdet)
+        self.G1 = f(geom.G1)      # (nel, nq, 2, 2)
+
+        # ---- precomputed solve helpers ----
+        # Dense block inverses are computed host-side in float64 numpy: the TPU
+        # compiler has no f64 LU, and these are one-off setup costs anyway.
+        npB2, npW = basis.B2, geom.winvdet
+        M2blk = np.einsum('qi,eq,qj->eij', npB2, npW, npB2)
+        self.M2blk = f(M2blk)
+        self.M2inv = f(np.linalg.inv(M2blk))
+        # 0-form: with colocated quadrature (q == p) B0 == I and M0 is diagonal
+        self.m0_diag_exact = bool(basis.q == basis.p)
+        # 1-form block-Jacobi (additive Schwarz) preconditioner blocks
+        M1blk = self._m1_blocks_np(geom.G1, basis)
+        self.M1blkinv = f(np.linalg.inv(M1blk))
+
+    # ------------------------------------------------------------------ gather/scatter
+    def gather0(self, u0):
+        return u0[self.e2d0]
+
+    def scatter0(self, vl):
+        return jnp.zeros(self.n0, self.dtype).at[self.e2d0].add(vl)
+
+    def gather1(self, u1):
+        return self.sgn1 * u1[self.e2d1]
+
+    def scatter1(self, vl):
+        return jnp.zeros(self.n1, self.dtype).at[self.e2d1].add(self.sgn1 * vl)
+
+    def gather2(self, u2):
+        return u2.reshape(self.nel, self.p * self.p)
+
+    def scatter2(self, vl):
+        return vl.reshape(self.n2)
+
+    # ------------------------------------------------------------------ interpolation
+    def interp0(self, u0):
+        """0-form values at quadrature points: (nel, nq)."""
+        return self.gather0(u0) @ self.B0.T
+
+    def interp1_ref(self, u1):
+        """1-form reference components at quad points: two (nel, nq) arrays."""
+        vl = self.gather1(u1)
+        vx, vy = vl[:, :self.n1loc], vl[:, self.n1loc:]
+        return vx @ self.B1x.T, vy @ self.B1y.T
+
+    def interp1_phys(self, u1):
+        """Piola-mapped physical vector at quad points: (nel, nq, 2).
+
+        u_phys = J u_ref / det (src/Geom.cpp:302-313).
+        """
+        qx, qy = self.interp1_ref(u1)
+        J, det = self.J, self.det
+        ux = (J[..., 0, 0] * qx + J[..., 0, 1] * qy) / det
+        uy = (J[..., 1, 0] * qx + J[..., 1, 1] * qy) / det
+        return jnp.stack([ux, uy], axis=-1)
+
+    def interp2_ref(self, u2):
+        return self.gather2(u2) @ self.B2.T
+
+    def interp2_phys(self, u2):
+        """2-form physical values at quad points: u/det (src/Geom.cpp:315-324)."""
+        return self.interp2_ref(u2) / self.det
+
+    # ------------------------------------------------------------------ mass operators
+    def apply_M0(self, u0, weight_q=None):
+        """0-form mass; weight_q (nel, nq) multiplies the physical measure."""
+        q = self.interp0(u0) * self.wdet
+        if weight_q is not None:
+            q = q * weight_q
+        return self.scatter0(q @ self.B0)
+
+    def apply_M2(self, u2, weight_q=None):
+        q = self.interp2_ref(u2) * self.winvdet
+        if weight_q is not None:
+            q = q * weight_q
+        return self.scatter2(q @ self.B2)
+
+    def _apply_G(self, vl, G):
+        """Core 1-form metric application on local views."""
+        vx, vy = vl[:, :self.n1loc], vl[:, self.n1loc:]
+        qx = vx @ self.B1x.T
+        qy = vy @ self.B1y.T
+        rx = G[..., 0, 0] * qx + G[..., 0, 1] * qy
+        ry = G[..., 1, 0] * qx + G[..., 1, 1] * qy
+        return jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1)
+
+    @staticmethod
+    def _m1_blocks_np(G, basis):
+        """Dense per-element 1-form mass blocks (host-side numpy, setup only)."""
+        Bx, By = basis.B1x, basis.B1y
+        Axx = np.einsum('qi,eq,qj->eij', Bx, G[..., 0, 0], Bx)
+        Axy = np.einsum('qi,eq,qj->eij', Bx, G[..., 0, 1], By)
+        Ayx = np.einsum('qi,eq,qj->eij', By, G[..., 1, 0], Bx)
+        Ayy = np.einsum('qi,eq,qj->eij', By, G[..., 1, 1], By)
+        top = np.concatenate([Axx, Axy], axis=2)
+        bot = np.concatenate([Ayx, Ayy], axis=2)
+        return np.concatenate([top, bot], axis=1)
+
+    def apply_M1(self, u1, h2=None):
+        """1-form mass (Umat); with h2 the field-weighted Uhmat
+        (src/Assembly.cpp:30-124, 675-734): G = w J^T J h_phys / det."""
+        G = self.G1
+        if h2 is not None:
+            G = G * self.interp2_phys(h2)[..., None, None]
+        return self.scatter1(self._apply_G(self.gather1(u1), G))
+
+    def apply_R(self, q0, u1):
+        """Rotational (potential-vorticity cross-product) operator RotMat
+        (src/Assembly.cpp:1346-1395): metric-free q x ( ) in reference coords."""
+        wq = self.interp0(q0) * self.W
+        qx, qy = self.interp1_ref(u1)
+        rx = -wq * qy
+        ry = +wq * qx
+        return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+
+    def apply_K(self, uK, v1):
+        """Kinetic-energy operator WtQUmat (src/Assembly.cpp:1146-1218):
+        projects (1/2) u_phys . v_phys onto 2-forms."""
+        up = self.interp1_phys(uK)
+        vp = self.interp1_phys(v1)
+        kq = 0.5 * self.W * jnp.sum(up * vp, axis=-1)
+        return self.scatter2(kq @ self.B2)
+
+    # ------------------------------------------------------------------ projections (ICs)
+    def rhs_P0(self, f_q):
+        """PtQmat action: quadrature values -> 0-form rhs (src/Assembly.cpp:994-1036)."""
+        return self.scatter0((f_q * self.wdet) @ self.B0)
+
+    def rhs_P1(self, f_q):
+        """UtQmat action: physical vector at quads (nel, nq, 2) -> 1-form rhs
+        (src/Assembly.cpp:1052-1139): B^T (w J^T f)."""
+        fx = self.W * (self.J[..., 0, 0] * f_q[..., 0] + self.J[..., 1, 0] * f_q[..., 1])
+        fy = self.W * (self.J[..., 0, 1] * f_q[..., 0] + self.J[..., 1, 1] * f_q[..., 1])
+        return self.scatter1(jnp.concatenate([fx @ self.B1x, fy @ self.B1y], axis=1))
+
+    def rhs_P2(self, f_q):
+        """WtQmat action: physical values at quads -> 2-form rhs (src/Assembly.cpp:934-979)."""
+        return self.scatter2((f_q * self.W) @ self.B2)
+
+    def proj0(self, f):
+        """Project f(lon, lat) onto 0-forms (init0, src/SWEqn_Picard.cpp:842-878)."""
+        fq = f(self.lonlat[..., 0], self.lonlat[..., 1])
+        return self.solve_M0(self.rhs_P0(fq))
+
+    def proj1(self, fu, fv, tol=1e-14):
+        """Project physical vector field (zonal, meridional components as
+        functions of lon/lat) onto 1-forms (init1, src/SWEqn_Picard.cpp:880-932)."""
+        fq = jnp.stack([fu(self.lonlat[..., 0], self.lonlat[..., 1]),
+                        fv(self.lonlat[..., 0], self.lonlat[..., 1])], axis=-1)
+        return self.solve_M1(self.rhs_P1(fq), tol=tol)
+
+    def proj2(self, f):
+        """Project f(lon, lat) onto 2-forms (init2, src/SWEqn_Picard.cpp:934-979)."""
+        fq = f(self.lonlat[..., 0], self.lonlat[..., 1])
+        return self.solve_M2(self.rhs_P2(fq))
+
+    # ------------------------------------------------------------------ incidence
+    def e10(self, psi):
+        """Rotated gradient 0-form -> 1-form (E10mat, src/Assembly.cpp:1415-1475)."""
+        return psi[self.e10_plus] - psi[self.e10_minus]
+
+    def e01(self, w1):
+        """-E10^T: 1-form -> 0-form (weak curl building block)."""
+        return (jnp.zeros(self.n0, self.dtype)
+                .at[self.e10_plus].add(-w1)
+                .at[self.e10_minus].add(+w1))
+
+    def e21(self, u1):
+        """Divergence 1-form -> 2-form (E21mat, src/Assembly.cpp:1483-1533)."""
+        return jnp.sum(self.e21_sgn * u1[self.e21_idx], axis=1)
+
+    def e12(self, h2):
+        """-E21^T: 2-form -> 1-form (weak gradient building block)."""
+        return (jnp.zeros(self.n1, self.dtype)
+                .at[self.e21_idx].add(-self.e21_sgn * h2[:, None]))
+
+    # ------------------------------------------------------------------ upwinded (departure-point) operators
+    def ref_velocity(self, u1):
+        """Reference-coordinate velocity J^{-1} u_phys at quad points (nel, nq, 2)
+        (the departure-point speed, src/Assembly.cpp:530-532)."""
+        up = self.interp1_phys(u1)
+        J, det = self.J, self.det
+        vx = (+J[..., 1, 1] * up[..., 0] - J[..., 0, 1] * up[..., 1]) / det
+        vy = (-J[..., 1, 0] * up[..., 0] + J[..., 0, 0] * up[..., 1]) / det
+        return jnp.stack([vx, vy], axis=-1)
+
+    def p0_up(self, u1, tau):
+        """Departure-point 0-form evaluation tensor (nel, nq, n0loc):
+        nodal basis evaluated at (x_q - tau * u_ref) (src/Assembly.cpp:539-547)."""
+        from ..basis import lagrange_eval
+        ul = self.ref_velocity(u1)
+        q1 = self.basis.q + 1
+        qx = jnp.asarray(np.tile(self.basis.qpts, q1), self.dtype)
+        qy = jnp.asarray(np.repeat(self.basis.qpts, q1), self.dtype)
+        X = qx[None, :] - tau * ul[..., 0]
+        Y = qy[None, :] - tau * ul[..., 1]
+        lx = lagrange_eval(self.basis.nodes, X)   # (nel, nq, p+1)
+        ly = lagrange_eval(self.basis.nodes, Y)
+        np1 = self.p + 1
+        jjx = np.arange(np1 * np1) % np1
+        jjy = np.arange(np1 * np1) // np1
+        return lx[..., jjx] * ly[..., jjy]
+
+    def interp0_up(self, q0, P_up):
+        """0-form values at departure points given the P_up tensor."""
+        return jnp.einsum('eqj,ej->eq', P_up, self.gather0(q0))
+
+    def apply_M0h_up(self, v0, h2, P_up):
+        """Upwinded-test-function weighted 0-form mass (Phmat::assemble_up,
+        src/Assembly.cpp:499-567): P_up^T diag(w h_loc) P.  Nonsymmetric."""
+        hq = self.interp2_ref(h2)        # dets cancel (src/Assembly.cpp:543-545)
+        vq = self.interp0(v0) * self.W * hq
+        return self.scatter0(jnp.einsum('eq,eqj->ej', vq, P_up))
+
+    def solve_M0h_up(self, b0, h2, P_up, tol=1e-13):
+        """GMRES on the nonsymmetric upwinded PV mass matrix, preconditioned by
+        the diagonal of the centred M0h (reference uses GMRES+BJACOBI)."""
+        from . import solvers
+        d = self.m0_lumped(self.interp2_ref(h2))
+        mv = lambda x: self.apply_M0h_up(x, h2, P_up)
+        return solvers.gmres(mv, b0, pc=lambda r: r / d, tol=tol,
+                             maxiter=4, restart=20)
+
+    def apply_R_up(self, q0, u1, P_up):
+        """Upwinded rotational operator RotMat_up (src/Assembly.cpp:1784-1853):
+        PV interpolated at departure points, metric-free cross product."""
+        wq = self.interp0_up(q0, P_up) * self.W
+        qx, qy = self.interp1_ref(u1)
+        rx = -wq * qy
+        ry = +wq * qx
+        return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+
+    # ------------------------------------------------------------------ solves
+    def solve_M2(self, b2, h2=None, tol=1e-14):
+        """Exact 2-form mass solve: block-diagonal batched dense inverse.
+
+        For the field-weighted case the precomputed unweighted inverse serves as
+        a (block-exact) preconditioner for a short CG -- avoids runtime f64
+        factorizations, which the TPU backend does not support.
+        """
+        bl = self.gather2(b2)
+        x = self.scatter2(jnp.einsum('eij,ej->ei', self.M2inv, bl))
+        if h2 is None:
+            return x
+        from . import solvers
+        mv = lambda v: self.apply_M2(v, weight_q=self.interp2_phys(h2))
+        pc = lambda r: self.scatter2(jnp.einsum('eij,ej->ei', self.M2inv,
+                                                self.gather2(r)))
+        return solvers.cg(mv, b2, pc=pc, x0=x, tol=tol, maxiter=50)
+
+    def m0_lumped(self, weight_q=None):
+        """Diagonal (lumped) 0-form mass vector (Pvec, src/Assembly.cpp:857-914)."""
+        q = self.wdet if weight_q is None else self.wdet * weight_q
+        return self.scatter0(jnp.broadcast_to(q, (self.nel, q.shape[-1]))
+                             @ (self.B0 * self.B0))
+
+    def solve_M0(self, b0, weight_q=None):
+        """0-form mass solve.  Exact (diagonal) when quadrature is colocated."""
+        if self.m0_diag_exact:
+            return b0 / self.m0_lumped(weight_q)
+        from . import solvers
+        mv = lambda x: self.apply_M0(x, weight_q)
+        d = self.m0_lumped(weight_q)
+        return solvers.cg(mv, b0, pc=lambda r: r / d, tol=1e-14, maxiter=100)
+
+    def pc_M1(self, r1):
+        """Additive-Schwarz (per-element block) preconditioner for M1, the
+        TPU-native analogue of the reference's PCBJACOBI with one block per
+        element (src/SWEqn_Picard.cpp:92-93)."""
+        vl = self.gather1(r1)
+        return self.scatter1(jnp.einsum('eij,ej->ei', self.M1blkinv, vl))
+
+    def solve_M1(self, b1, tol=1e-14, maxiter=200):
+        from . import solvers
+        return solvers.cg(self.apply_M1, b1, pc=self.pc_M1, tol=tol, maxiter=maxiter)

@@ -1,0 +1,143 @@
+"""Krylov solvers as compiler-friendly JAX loops.
+
+TPU-native replacement for the reference's PETSc KSP stack
+(src/SWEqn_Picard.cpp:87-115): fixed-shape `lax.while_loop` iterations, dot
+products become XLA reductions (psum across shards under pjit), and
+preconditioning is supplied as a callable (typically the batched per-element
+block inverse from SpaceOps.pc_M1, the analogue of PCBJACOBI).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200):
+    """Preconditioned conjugate gradients for SPD matrix-free operators.
+
+    Stops at ||r|| <= tol * ||b|| or maxiter.  Traceable under jit.
+    """
+    if pc is None:
+        pc = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - mv(x) if x0 is not None else b
+    z = pc(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm2 = jnp.vdot(b, b)
+    tol2 = tol * tol * jnp.maximum(bnorm2, 1e-300)
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return jnp.logical_and(k < maxiter, jnp.vdot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = mv(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pc(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x
+
+
+def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30):
+    """Right-preconditioned GMRES(restart) with `maxiter` restart cycles.
+
+    Fixed-shape Arnoldi (restart is a static bound; converged iterations are
+    masked), suitable for jit/pjit.  Used for the nonsymmetric coupled systems
+    (the reference solves these with parallel KSPGMRES + block-Jacobi).
+    """
+    if pc is None:
+        pc = lambda r: r
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    tol_abs = tol * jnp.maximum(bnorm, 1e-300)
+
+    def arnoldi_cycle(x):
+        r = b - mv(x)
+        beta = jnp.sqrt(jnp.vdot(r, r))
+        V = jnp.zeros((m + 1, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+
+        def body(j, carry):
+            V, H = carry
+            w = mv(pc(V[j]))
+            # modified Gram-Schmidt (loop is static over m, masked beyond j)
+            def mgs(i, wh):
+                w, h = wh
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                h = h.at[i].set(hij)
+                return (w, h)
+            w, hcol = lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+            hnorm = jnp.sqrt(jnp.vdot(w, w))
+            hcol = hcol.at[j + 1].set(hnorm)
+            V = V.at[j + 1].set(w / jnp.maximum(hnorm, 1e-300))
+            H = H.at[:, j].set(hcol)
+            return (V, H)
+
+        V, H = lax.fori_loop(0, m, body, (V, H))
+        # least squares min || beta e1 - H y || via Givens rotations (no dense
+        # factorizations: the TPU backend has no f64 LU/SVD)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        R = jnp.zeros((m, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+
+        def givens_col(j, carry):
+            R, g, cs, sn = carry
+            col = H[:, j]
+
+            def apply_prev(i, col):
+                a = jnp.where(i < j, cs[i] * col[i] + sn[i] * col[i + 1], col[i])
+                bb = jnp.where(i < j, -sn[i] * col[i] + cs[i] * col[i + 1], col[i + 1])
+                return col.at[i].set(a).at[i + 1].set(bb)
+
+            col = lax.fori_loop(0, m, apply_prev, col)
+            r = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            c = jnp.where(r > 0, col[j] / jnp.maximum(r, 1e-300), 1.0)
+            s = jnp.where(r > 0, col[j + 1] / jnp.maximum(r, 1e-300), 0.0)
+            col = col.at[j].set(r).at[j + 1].set(0.0)
+            gj, gj1 = g[j], g[j + 1]
+            g = g.at[j].set(c * gj + s * gj1).at[j + 1].set(-s * gj + c * gj1)
+            R = R.at[:, j].set(col[:m])
+            return (R, g, cs.at[j].set(c), sn.at[j].set(s))
+
+        R, g, cs, sn = lax.fori_loop(0, m, givens_col, (R, g, cs, sn))
+
+        def backsub(jj, y):
+            j = m - 1 - jj
+            acc = g[j] - jnp.dot(R[j], y)
+            diag = R[j, j]
+            yj = jnp.where(jnp.abs(diag) > 1e-300, acc / jnp.where(diag == 0, 1.0, diag), 0.0)
+            return y.at[j].set(yj)
+
+        y = lax.fori_loop(0, m, backsub, jnp.zeros(m, dtype))
+        dx = pc(y @ V[:m])
+        return x + dx
+
+    def cond(state):
+        x, k = state
+        r = b - mv(x)
+        return jnp.logical_and(k < maxiter, jnp.sqrt(jnp.vdot(r, r)) > tol_abs)
+
+    def body(state):
+        x, k = state
+        return (arnoldi_cycle(x), k + 1)
+
+    x, _ = lax.while_loop(cond, body, (x, 0))
+    return x

@@ -1,0 +1,135 @@
+"""Operator accuracy vs analytic fields on the unit-ish sphere.
+
+TPU-native rebuild of the reference's deprecated operator test drivers
+(dep/sandbox/src/TestGradient/TestDivergence/TestVorticity/TestK.cpp).
+These exercise cross-panel 1-form orientation: any sign error at a cube-face
+boundary shows up as O(1) error in the projected/derived fields.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mimsem_tpu.basis import make_basis
+from mimsem_tpu.mesh.cubed_sphere import cubed_sphere_mesh, RAD_SPHERE
+from mimsem_tpu.mesh.topology import build_topology
+from mimsem_tpu.mesh.geometry import build_geometry
+from mimsem_tpu.ops.forms import SpaceOps
+from mimsem_tpu.utils import diagnostics as dg
+
+U0 = 40.0
+R = RAD_SPHERE
+
+
+def setup(ne, p):
+    mesh = cubed_sphere_mesh(ne)
+    topo = build_topology(mesh, p)
+    b = make_basis(p)
+    geom = build_geometry(mesh, b)
+    return SpaceOps(topo, b, geom)
+
+
+# solid body rotation: u = U0 cos(lat), psi = -U0 R sin(lat), zeta = 2 U0 sin(lat)/R
+psi_f = lambda lon, lat: -U0 * R * jnp.sin(lat)
+u_f = lambda lon, lat: U0 * jnp.cos(lat)
+v_f = lambda lon, lat: jnp.zeros_like(lon)
+zeta_f = lambda lon, lat: 2.0 * U0 * jnp.sin(lat) / R
+h_f = lambda lon, lat: 1e4 + 100.0 * jnp.cos(lat) * jnp.cos(2 * lon)
+
+
+def test_projection_0form_accuracy():
+    ops = setup(3, 3)
+    q0 = ops.proj0(psi_f)
+    n = dg.err0(ops, q0, psi_f)
+    assert float(n[1]) < 1e-4
+
+
+def test_projection_2form_accuracy():
+    """2-form coefficients absorb det(J), so even constants converge at O(h^p)
+    on the curved sphere (same property as the reference's W2 space); check
+    level and order rather than machine accuracy."""
+    errs = []
+    for ne in (2, 4):
+        ops = setup(ne, 3)
+        h2 = ops.proj2(h_f)
+        errs.append(float(dg.err2(ops, h2, h_f)[1]))
+    assert errs[1] < 2e-3
+    order = np.log2(errs[0] / errs[1])
+    assert order > 2.5, (errs, order)
+
+
+def test_projection_1form_accuracy():
+    """Catches cross-panel sign errors: a wrong sign makes the error O(1)."""
+    ops = setup(3, 3)
+    u1 = ops.proj1(u_f, v_f)
+    n = dg.err1(ops, u1, u_f, v_f)
+    # O(h^p) metric truncation (Piola space can't represent u exactly on the
+    # curved sphere); a cross-panel sign error would be O(1) instead.
+    assert float(n[1]) < 1e-2
+
+
+def test_rotated_gradient_of_streamfunction():
+    """u_h = E10 psi_h reproduces the solid-body velocity (TestGradient analogue)."""
+    ops = setup(3, 3)
+    psi0 = ops.proj0(psi_f)
+    u1 = ops.e10(psi0)
+    n = dg.err1(ops, u1, u_f, v_f)
+    assert float(n[1]) < 2e-2
+    # and is exactly divergence free
+    div = ops.e21(u1)
+    assert float(jnp.max(jnp.abs(div))) < 1e-8 * float(jnp.max(jnp.abs(u1)))
+
+
+def test_weak_curl_vorticity():
+    """w = M0^-1 E01 M1 u reproduces zeta = 2 U0 sin(lat)/R (TestVorticity)."""
+    ops = setup(3, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    w0 = ops.solve_M0(ops.e01(ops.apply_M1(u1)))
+    n = dg.err0(ops, w0, zeta_f)
+    assert float(n[1]) < 2e-2
+
+
+def test_weak_divergence_small():
+    ops = setup(3, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    div = ops.e21(u1)  # 2-form coefficients of div
+    # physical divergence values
+    dq = ops.interp2_phys(div)
+    scale = U0 / R
+    # truncation-level: the L2 projection is not discretely div-free
+    assert float(jnp.max(jnp.abs(dq))) < 0.1 * scale
+
+
+def test_kinetic_energy_operator():
+    """<1, K(u) u> = integral of 0.5 h... with test fn 1: total KE of solid body.
+
+    Exact: int 0.5 U0^2 cos^2(lat) dA = 0.5 U0^2 * (8/3) pi R^2 (TestK analogue).
+    """
+    ops = setup(3, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    k2 = ops.apply_K(u1, u1)
+    # <K u, M2^-1 ...>: integral of the 2-form K against constant 1 test fn:
+    # sum of coefficients of K weighted... use int2 of M2^-1 K
+    ke2 = ops.solve_M2(k2)
+    total = float(dg.int2(ops, ke2))
+    exact = 0.5 * U0 ** 2 * (8.0 / 3.0) * np.pi * R ** 2
+    assert abs(total - exact) / exact < 1e-4
+
+
+def test_convergence_with_resolution():
+    """L2 error of 1-form projection decreases with mesh refinement at high order."""
+    errs = []
+    for ne in (2, 4):
+        ops = setup(ne, 3)
+        u1 = ops.proj1(u_f, v_f, tol=1e-13)
+        errs.append(float(dg.err1(ops, u1, u_f, v_f)[1]))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 2.5, (errs, order)
+
+
+def test_coriolis_projection_exact_enough():
+    ops = setup(2, 3)
+    omega = 7.292e-5
+    f_f = lambda lon, lat: 2 * omega * jnp.sin(lat)
+    f0 = ops.proj0(f_f)
+    n = dg.err0(ops, f0, f_f)
+    assert float(n[1]) < 1e-3
