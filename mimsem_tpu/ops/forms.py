@@ -29,6 +29,25 @@ from ..mesh.geometry import Geometry
 from ..mesh.topology import Topology
 
 
+def _inverse_table(dst: np.ndarray, n_dst: int) -> np.ndarray:
+    """Invert a scatter map: table[d, k] lists the flat source positions that
+    accumulate into destination d, padded with len(dst) (a zero slot).
+
+    Turns scatter-adds into gather+sum -- TPU scatters serialize, gathers don't.
+    """
+    dst = dst.ravel()
+    order = np.argsort(dst, kind='stable')
+    sorted_dst = dst[order]
+    counts = np.bincount(dst, minlength=n_dst)
+    m = int(counts.max())
+    starts = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    table = np.full((n_dst, m), len(dst), dtype=np.int64)
+    rank = np.arange(len(dst)) - starts[sorted_dst]
+    table[sorted_dst, rank] = order
+    return table
+
+
 class SpaceOps:
     """Bundles topology/basis/geometry arrays and exposes matrix-free operators.
 
@@ -36,20 +55,29 @@ class SpaceOps:
     """
 
     def __init__(self, topo: Topology, basis: Basis, geom: Geometry,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, el_sharding=None):
         self.topo = topo
         self.basis = basis
+        self.geom = geom  # host-side numpy metrics (for setup-time PC assembly)
         self.p = topo.p
         self.nel = topo.nel
         self.n0, self.n1, self.n2 = topo.n0, topo.n1, topo.n2
         self.n1loc = topo.n1loc
-        f = lambda a: jnp.asarray(a, dtype=dtype)
+        self.el_sharding = el_sharding
+
+        def put(a):
+            """Place an element-dim-leading array, sharded across chips if requested."""
+            return a if el_sharding is None else jax.device_put(a, el_sharding)
+
+        f = lambda a: jnp.asarray(a, dtype=dtype)         # replicated
+        fe = lambda a: put(jnp.asarray(a, dtype=dtype))   # element-sharded
         i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        ie = lambda a: put(jnp.asarray(a, dtype=jnp.int32))
         self.dtype = dtype
 
-        self.e2d0 = i(topo.e2d0)
-        self.e2d1 = i(topo.e2d1)
-        self.sgn1 = f(topo.sgn1)
+        self.e2d0 = ie(topo.e2d0)
+        self.e2d1 = ie(topo.e2d1)
+        self.sgn1 = fe(topo.sgn1)
         self.e10_plus = i(topo.e10_plus)
         self.e10_minus = i(topo.e10_minus)
         self.e21_idx = i(topo.e21_idx)
@@ -61,39 +89,58 @@ class SpaceOps:
         self.B2 = f(basis.B2)    # (nq, n2loc)
         self.W = f(basis.W)      # (nq,)
 
-        self.x = f(geom.x)
-        self.lonlat = f(geom.lonlat)
-        self.J = f(geom.J)        # (nel, nq, 2, 2)
-        self.det = f(geom.det)    # (nel, nq)
-        self.wdet = f(geom.wdet)
-        self.winvdet = f(geom.winvdet)
-        self.G1 = f(geom.G1)      # (nel, nq, 2, 2)
+        self.x = fe(geom.x)
+        self.lonlat = fe(geom.lonlat)
+        self.J = fe(geom.J)        # (nel, nq, 2, 2)
+        self.det = fe(geom.det)    # (nel, nq)
+        self.wdet = fe(geom.wdet)
+        self.winvdet = fe(geom.winvdet)
+        self.G1 = fe(geom.G1)      # (nel, nq, 2, 2)
 
         # ---- precomputed solve helpers ----
         # Dense block inverses are computed host-side in float64 numpy: the TPU
         # compiler has no f64 LU, and these are one-off setup costs anyway.
         npB2, npW = basis.B2, geom.winvdet
         M2blk = np.einsum('qi,eq,qj->eij', npB2, npW, npB2)
-        self.M2blk = f(M2blk)
-        self.M2inv = f(np.linalg.inv(M2blk))
+        self.M2blk = fe(M2blk)
+        self.M2inv = fe(np.linalg.inv(M2blk))
         # 0-form: with colocated quadrature (q == p) B0 == I and M0 is diagonal
         self.m0_diag_exact = bool(basis.q == basis.p)
         # 1-form block-Jacobi (additive Schwarz) preconditioner blocks
         M1blk = self._m1_blocks_np(geom.G1, basis)
-        self.M1blkinv = f(np.linalg.inv(M1blk))
+        self.M1blkinv = fe(np.linalg.inv(M1blk))
+
+        # ---- scatter-free assembly tables (gather+sum instead of scatter-add) ----
+        self.t_asm0 = i(_inverse_table(topo.e2d0, self.n0))        # (n0, m)
+        self.t_asm1 = i(_inverse_table(topo.e2d1, self.n1))        # (n1, 2)
+        # adjoint incidence: invert the E10/E21 row->col maps
+        e01_dst = np.concatenate([topo.e10_plus, topo.e10_minus])
+        self.t_e01 = i(_inverse_table(e01_dst, self.n0))           # (n0, m)
+        self.t_e12 = i(_inverse_table(topo.e21_idx, self.n1))      # (n1, 2)
+
+    # default (global-vector) inner products; LocalOps overrides with
+    # multiplicity-weighted versions
+    def dot0(self, a, b):
+        return jnp.vdot(a, b)
+
+    dot1 = dot0
+    dot2 = dot0
+    wdot1 = None   # diagonal weight for gmres on 1-forms (LocalOps sets it)
 
     # ------------------------------------------------------------------ gather/scatter
     def gather0(self, u0):
         return u0[self.e2d0]
 
     def scatter0(self, vl):
-        return jnp.zeros(self.n0, self.dtype).at[self.e2d0].add(vl)
+        src = jnp.concatenate([vl.ravel(), jnp.zeros(1, self.dtype)])
+        return jnp.sum(src[self.t_asm0], axis=1)
 
     def gather1(self, u1):
         return self.sgn1 * u1[self.e2d1]
 
     def scatter1(self, vl):
-        return jnp.zeros(self.n1, self.dtype).at[self.e2d1].add(self.sgn1 * vl)
+        src = jnp.concatenate([(self.sgn1 * vl).ravel(), jnp.zeros(1, self.dtype)])
+        return jnp.sum(src[self.t_asm1], axis=1)
 
     def gather2(self, u2):
         return u2.reshape(self.nel, self.p * self.p)
@@ -182,6 +229,20 @@ class SpaceOps:
         ry = +wq * qx
         return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
 
+    def apply_R_apvm(self, q0, u_adv, dq1, tau, v1):
+        """Anticipated-potential-vorticity rotational operator applied to v1:
+        PV corrected by q* = q - tau (u_adv x grad q) before the cross product
+        (RotMat_up::assemble_supg without the time-derivative term,
+        src/Assembly.cpp:1855+; used by the Rosenbrock SW solver)."""
+        up = self.interp1_phys(u_adv)
+        dqp = self.interp1_phys(dq1)
+        wq = (self.interp0(q0)
+              - tau * (up[..., 0] * dqp[..., 1] - up[..., 1] * dqp[..., 0])) * self.W
+        qx, qy = self.interp1_ref(v1)
+        rx = -wq * qy
+        ry = +wq * qx
+        return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+
     def apply_K(self, uK, v1):
         """Kinetic-energy operator WtQUmat (src/Assembly.cpp:1146-1218):
         projects (1/2) u_phys . v_phys onto 2-forms."""
@@ -189,6 +250,27 @@ class SpaceOps:
         vp = self.interp1_phys(v1)
         kq = 0.5 * self.W * jnp.sum(up * vp, axis=-1)
         return self.scatter2(kq @ self.B2)
+
+    def apply_K_T(self, uK, h2):
+        """Transpose of the kinetic-energy operator: WtQUmat^T h
+        (used by the thermal-SW momentum equation, src/ThermalSW_EEC_2.cpp:1082):
+        projects (1/2) h_phys u_phys onto 1-form test functions."""
+        up = self.interp1_phys(uK)
+        hq = 0.5 * self.W * self.interp2_ref(h2) / self.det
+        fx = hq * (self.J[..., 0, 0] * up[..., 0] + self.J[..., 1, 0] * up[..., 1])
+        fy = hq * (self.J[..., 0, 1] * up[..., 0] + self.J[..., 1, 1] * up[..., 1])
+        return self.scatter1(jnp.concatenate([fx @ self.B1x, fy @ self.B1y], axis=1))
+
+    def apply_M2h(self, u2, h2):
+        """2-form mass weighted by interpolated h (Whmat, src/Assembly.cpp:1541+)."""
+        return self.apply_M2(u2, weight_q=self.interp2_phys(h2))
+
+    def solve_M1h(self, b1, h2, tol=1e-13, maxiter=200):
+        """Field-weighted 1-form mass solve (Uhmat system)."""
+        from . import solvers
+        mv = lambda u: self.apply_M1(u, h2)
+        return solvers.cg(mv, b1, pc=self.pc_M1, tol=tol, maxiter=maxiter,
+                          dot=self.dot1)
 
     # ------------------------------------------------------------------ projections (ICs)
     def rhs_P0(self, f_q):
@@ -230,9 +312,8 @@ class SpaceOps:
 
     def e01(self, w1):
         """-E10^T: 1-form -> 0-form (weak curl building block)."""
-        return (jnp.zeros(self.n0, self.dtype)
-                .at[self.e10_plus].add(-w1)
-                .at[self.e10_minus].add(+w1))
+        src = jnp.concatenate([-w1, +w1, jnp.zeros(1, self.dtype)])
+        return jnp.sum(src[self.t_e01], axis=1)
 
     def e21(self, u1):
         """Divergence 1-form -> 2-form (E21mat, src/Assembly.cpp:1483-1533)."""
@@ -240,8 +321,9 @@ class SpaceOps:
 
     def e12(self, h2):
         """-E21^T: 2-form -> 1-form (weak gradient building block)."""
-        return (jnp.zeros(self.n1, self.dtype)
-                .at[self.e21_idx].add(-self.e21_sgn * h2[:, None]))
+        src = jnp.concatenate([(-self.e21_sgn * h2[:, None]).ravel(),
+                               jnp.zeros(1, self.dtype)])
+        return jnp.sum(src[self.t_e12], axis=1)
 
     # ------------------------------------------------------------------ upwinded (departure-point) operators
     def ref_velocity(self, u1):
@@ -281,14 +363,17 @@ class SpaceOps:
         vq = self.interp0(v0) * self.W * hq
         return self.scatter0(jnp.einsum('eq,eqj->ej', vq, P_up))
 
-    def solve_M0h_up(self, b0, h2, P_up, tol=1e-13):
-        """GMRES on the nonsymmetric upwinded PV mass matrix, preconditioned by
-        the diagonal of the centred M0h (reference uses GMRES+BJACOBI)."""
+    def solve_M0h_up(self, b0, h2, P_up, tol=1e-13, niter=10):
+        """Solve the nonsymmetric upwinded PV mass matrix system.
+
+        The departure-point offsets are O(CFL) perturbations of the diagonal
+        centred M0h, so diagonally-preconditioned Richardson converges
+        geometrically (the reference uses GMRES+BJACOBI on the same system;
+        here the fixed-depth iteration compiles to a tight TPU loop)."""
         from . import solvers
-        d = self.m0_lumped(self.interp2_ref(h2))
+        d = self.m0_lumped(self.interp2_phys(h2))
         mv = lambda x: self.apply_M0h_up(x, h2, P_up)
-        return solvers.gmres(mv, b0, pc=lambda r: r / d, tol=tol,
-                             maxiter=4, restart=20)
+        return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
 
     def apply_R_up(self, q0, u1, P_up):
         """Upwinded rotational operator RotMat_up (src/Assembly.cpp:1784-1853):

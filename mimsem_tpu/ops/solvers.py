@@ -15,33 +15,37 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200):
+def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200, dot=None):
     """Preconditioned conjugate gradients for SPD matrix-free operators.
 
     Stops at ||r|| <= tol * ||b|| or maxiter.  Traceable under jit.
+    `dot` customizes the inner product (e.g. multiplicity-weighted dots for
+    redundant local-form vectors).
     """
     if pc is None:
         pc = lambda r: r
+    if dot is None:
+        dot = jnp.vdot
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x) if x0 is not None else b
     z = pc(r)
     p = z
-    rz = jnp.vdot(r, z)
-    bnorm2 = jnp.vdot(b, b)
+    rz = dot(r, z)
+    bnorm2 = dot(b, b)
     tol2 = tol * tol * jnp.maximum(bnorm2, 1e-300)
 
     def cond(state):
         x, r, p, rz, k = state
-        return jnp.logical_and(k < maxiter, jnp.vdot(r, r) > tol2)
+        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
 
     def body(state):
         x, r, p, rz, k = state
         Ap = mv(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = pc(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, p, rz_new, k + 1)
@@ -50,25 +54,48 @@ def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200):
     return x
 
 
-def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30):
+def richardson(mv, b, pc, niter=8, x0=None):
+    """Fixed-point iteration x += PC (b - A x) with a static iteration count.
+
+    For near-identity preconditioned operators (e.g. the upwinded PV mass
+    matrix, whose departure-point offsets are O(CFL) perturbations of the
+    diagonal M0h), this converges geometrically and compiles to a tight
+    unrolled/scanned loop with no reductions -- much faster on TPU than a
+    Krylov loop of the same depth.
+    """
+    x = pc(b) if x0 is None else x0
+
+    def body(x, _):
+        return x + pc(b - mv(x)), None
+
+    x, _ = lax.scan(body, x, None, length=niter)
+    return x
+
+
+def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30,
+          weight=None):
     """Right-preconditioned GMRES(restart) with `maxiter` restart cycles.
 
     Fixed-shape Arnoldi (restart is a static bound; converged iterations are
     masked), suitable for jit/pjit.  Used for the nonsymmetric coupled systems
     (the reference solves these with parallel KSPGMRES + block-Jacobi).
+    `weight` supplies a diagonal inner-product weight (multiplicity weights for
+    local-form vectors).
     """
     if pc is None:
         pc = lambda r: r
     n = b.shape[0]
     m = restart
     dtype = b.dtype
+    wv = jnp.ones((), dtype) if weight is None else weight
+    wdot = lambda a, c: jnp.vdot(a * wv, c)
     x = jnp.zeros_like(b) if x0 is None else x0
-    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    bnorm = jnp.sqrt(wdot(b, b))
     tol_abs = tol * jnp.maximum(bnorm, 1e-300)
 
     def arnoldi_cycle(x):
         r = b - mv(x)
-        beta = jnp.sqrt(jnp.vdot(r, r))
+        beta = jnp.sqrt(wdot(r, r))
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
@@ -76,16 +103,17 @@ def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30):
         def body(j, carry):
             V, H = carry
             w = mv(pc(V[j]))
-            # modified Gram-Schmidt (loop is static over m, masked beyond j)
-            def mgs(i, wh):
-                w, h = wh
-                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                h = h.at[i].set(hij)
-                return (w, h)
-            w, hcol = lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
-            hnorm = jnp.sqrt(jnp.vdot(w, w))
-            hcol = hcol.at[j + 1].set(hnorm)
+            # classical Gram-Schmidt with reorthogonalization (CGS2): two
+            # dense matvecs against the whole basis instead of a serialized
+            # per-vector loop -- the TPU-friendly formulation (rows > j are
+            # zero so masking is implicit).
+            h1 = V @ (wv * w)
+            w = w - h1 @ V
+            h2 = V @ (wv * w)
+            w = w - h2 @ V
+            hcol = h1 + h2
+            hnorm = jnp.sqrt(wdot(w, w))
+            hcol = hcol.at[j + 1].add(hnorm)
             V = V.at[j + 1].set(w / jnp.maximum(hnorm, 1e-300))
             H = H.at[:, j].set(hcol)
             return (V, H)
@@ -131,13 +159,15 @@ def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30):
         return x + dx
 
     def cond(state):
-        x, k = state
-        r = b - mv(x)
-        return jnp.logical_and(k < maxiter, jnp.sqrt(jnp.vdot(r, r)) > tol_abs)
+        x, k, rnorm = state
+        return jnp.logical_and(k < maxiter, rnorm > tol_abs)
 
     def body(state):
-        x, k = state
-        return (arnoldi_cycle(x), k + 1)
+        x, k, _ = state
+        x = arnoldi_cycle(x)
+        r = b - mv(x)
+        return (x, k + 1, jnp.sqrt(wdot(r, r)))
 
-    x, _ = lax.while_loop(cond, body, (x, 0))
+    r0 = b - mv(x) if x0 is not None else b
+    x, _, _ = lax.while_loop(cond, body, (x, 0, jnp.sqrt(wdot(r0, r0))))
     return x

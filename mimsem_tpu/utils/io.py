@@ -1,0 +1,80 @@
+"""Field output, conservation logs, and checkpoint/restart.
+
+Parity with the reference's I/O:
+  * write0/1/2 interpolate fields to quadrature points and dump them with
+    coordinates (src/Geom.cpp:326-516 writes ASCII .dat + binary .vec; here a
+    single compressed .npz per field with lon/lat + values, plus optional
+    ASCII for the reference plotters).
+  * conservation.dat / energetics.dat appenders
+    (src/SWEqn_Picard.cpp:1348-1354, eul/Euler_2.cpp:716-733).
+  * checkpoint(): the analogue of the reference's .vec dumps + startStep
+    restart logic (src/Galewsky.cpp:88,120-130) -- one .npz of the state
+    pytree + step counter.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _ensure(path):
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def write0(ops, u0, name, step, outdir="output", ascii_dat=False):
+    """0-form field -> values at quadrature points."""
+    vals = np.asarray(ops.interp0(u0))
+    _write_field(ops, vals, name, step, outdir, ascii_dat)
+
+
+def write1(ops, u1, name, step, outdir="output", ascii_dat=False):
+    """1-form -> physical (zonal, meridional) components at quad points."""
+    up = np.asarray(ops.interp1_phys(u1))
+    _write_field(ops, up[..., 0], name + "_x", step, outdir, ascii_dat)
+    _write_field(ops, up[..., 1], name + "_y", step, outdir, ascii_dat)
+
+
+def write2(ops, u2, name, step, outdir="output", ascii_dat=False):
+    vals = np.asarray(ops.interp2_phys(u2))
+    _write_field(ops, vals, name, step, outdir, ascii_dat)
+
+
+def _write_field(ops, vals, name, step, outdir, ascii_dat):
+    _ensure(outdir)
+    lonlat = np.asarray(ops.lonlat)
+    fn = os.path.join(outdir, f"{name}_{step:04d}.npz")
+    np.savez_compressed(fn, lon=lonlat[..., 0], lat=lonlat[..., 1], vals=vals)
+    if ascii_dat:
+        flat = np.stack([lonlat[..., 0].ravel(), lonlat[..., 1].ravel(),
+                         vals.ravel()], axis=1)
+        np.savetxt(os.path.join(outdir, f"{name}_{step:04d}.dat"), flat)
+
+
+def append_conservation(path, time_s, drifts: dict, header=None):
+    """Append one line of conservation drifts (time in days first,
+    src/SWEqn_Picard.cpp:1348-1354)."""
+    _ensure(os.path.dirname(path) or ".")
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new and header:
+            f.write("# " + "\t".join(["time_days"] + list(header)) + "\n")
+        cols = [time_s / 86400.0] + [float(drifts[k]) for k in (header or drifts)]
+        f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+
+
+def save_checkpoint(path, step, **fields):
+    """State dump for restart (the analogue of the .vec dumps)."""
+    _ensure(os.path.dirname(path) or ".")
+    np.savez_compressed(path, __step=step,
+                        **{k: np.asarray(v) for k, v in fields.items()})
+
+
+def load_checkpoint(path):
+    data = np.load(path)
+    step = int(data["__step"])
+    fields = {k: jnp.asarray(data[k]) for k in data.files if k != "__step"}
+    return step, fields

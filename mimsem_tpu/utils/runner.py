@@ -1,0 +1,93 @@
+"""Time-loop drivers: the analogue of the reference main() programs.
+
+Each reference driver (src/Galewsky.cpp:81-160 etc.) follows the same shape:
+build model + ICs (or restart from dump), record conservation baselines, loop
+steps, dump fields + conservation at intervals.  `run_sw` / `run_tsw` factor
+that shape; the testcases modules supply build().
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from . import io as mio
+from . import diagnostics as dg
+
+
+def run_sw(sw, u, h, nsteps, dump_every, outdir="output", bot=None,
+           start_step=0, error_norms=None, verbose=True):
+    """Semi-implicit SW time loop with conservation monitoring
+    (src/Galewsky.cpp:147-158, src/Williamson2.cpp:130-152)."""
+    os.makedirs(outdir, exist_ok=True)
+    c0 = {k: float(v) for k, v in sw.conservation(u, h, bot).items()}
+    hdr = ["mass", "vort", "ener", "enst"]
+    dump = start_step // max(dump_every, 1)
+    for step in range(start_step + 1, nsteps + 1):
+        t0 = time.time()
+        u, h = sw.step(u, h, bot)
+        if verbose:
+            print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s", flush=True)
+        if dump_every and step % dump_every == 0:
+            dump += 1
+            w = sw.curl(u)
+            mio.write0(sw.ops, w, "vorticity", dump, outdir)
+            mio.write1(sw.ops, u, "velocity", dump, outdir)
+            mio.write2(sw.ops, h, "pressure", dump, outdir)
+            c = {k: float(v) for k, v in sw.conservation(u, h, bot).items()}
+            drifts = {
+                "mass": (c["mass"] - c0["mass"]) / c0["mass"],
+                "vort": c["vort"] - c0["vort"],
+                "ener": (c["ener"] - c0["ener"]) / c0["ener"],
+                "enst": (c["enst"] - c0["enst"]) / c0["enst"],
+            }
+            mio.append_conservation(os.path.join(outdir, "conservation.dat"),
+                                    step * sw.dt, drifts, header=hdr)
+            mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
+                                step, u=u, h=h)
+            if error_norms is not None:
+                norms = error_norms(sw, u, h)
+                with open(os.path.join(outdir, "errors.dat"), "a") as f:
+                    row = [step * sw.dt / 86400.0]
+                    for k in ("w", "u", "h"):
+                        row += [float(x) for x in np.asarray(norms[k])]
+                    f.write("\t".join(f"{x:.16e}" for x in row) + "\n")
+    return u, h
+
+
+def run_tsw(tsw, u, h, S, nsteps, dump_every, outdir="output", start_step=0,
+            verbose=True):
+    """Thermal-SW (EEC, SSP-RK3) loop (src/GalewskyTSW_2.cpp:182-199)."""
+    os.makedirs(outdir, exist_ok=True)
+    c0 = {k: float(v) for k, v in tsw.conservation(u, h, S).items()}
+    hdr = ["mass", "vort", "ener", "enst", "buoy", "entr"]
+    dump = start_step // max(dump_every, 1)
+    for step in range(start_step + 1, nsteps + 1):
+        u, h, S = tsw.step(u, h, S)
+        if verbose and step % 50 == 0:
+            print(f"step {step}/{nsteps}", flush=True)
+        if dump_every and step % dump_every == 0:
+            dump += 1
+            ops = tsw.ops
+            w = tsw.curl(u)
+            s = ops.solve_M2(ops.apply_M2(S), h2=h)
+            mio.write0(ops, w, "vorticity", dump, outdir)
+            mio.write1(ops, u, "velocity", dump, outdir)
+            mio.write2(ops, h, "pressure", dump, outdir)
+            mio.write2(ops, s, "buoyancy", dump, outdir)
+            mio.write2(ops, S, "depth_buoyancy", dump, outdir)
+            c = {k: float(v) for k, v in tsw.conservation(u, h, S).items()}
+            drifts = {
+                "mass": (c["mass"] - c0["mass"]) / c0["mass"],
+                "vort": c["vort"] - c0["vort"],
+                "ener": (c["ener"] - c0["ener"]) / c0["ener"],
+                "enst": (c["enst"] - c0["enst"]) / c0["enst"],
+                "buoy": (c["buoy"] - c0["buoy"]) / c0["buoy"],
+                "entr": (c["entr"] - c0["entr"]) / c0["entr"],
+            }
+            mio.append_conservation(os.path.join(outdir, "conservation.dat"),
+                                    step * tsw.dt, drifts, header=hdr)
+            mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
+                                step, u=u, h=h, S=S)
+    return u, h, S
