@@ -1,0 +1,494 @@
+"""3D compressible Euler: horizontally-explicit / vertically-implicit (HEVI).
+
+TPU re-design of the reference Euler stack (box/Euler_2.cpp, eul/Euler_2.cpp,
+box/VertSolve.cpp, eul/VertSolve.cpp, box/HorizSolve.cpp):
+
+  * State: per-layer horizontal velocity u [nk, ln1] (local-form 1-forms),
+    vertical velocity w on interior interfaces [nk-1, nel, n2loc], density rho,
+    density-weighted potential temperature Theta = rho*theta, and Exner
+    pressure Pi as layer 2-forms [nk, nel, n2loc].  The reference's L2Vecs
+    horizontal<->vertical repacking (eul/L2Vecs.cpp) is just the [lev, nel, .]
+    axis order here -- free.
+  * Strang HEVI step (box/Euler_2.cpp:1306-1477): explicit horizontal momentum
+    predictor (2 dt leapfrog after the first step), implicit vertical
+    Newton-Schur solve, explicit horizontal corrector.
+  * Vertical implicit solve (box/VertSolve.cpp:1264-1458 solve_schur_2 +
+    solve_schur_column_3 :879-1058): Newton iterations; each builds exact
+    residuals for (w, rho, Theta, Pi) and eliminates to a block-TRIDIAGONAL
+    Helmholtz system in d(Theta) solved by batched block-Thomas over layers.
+    Deviation from the reference: the Q_rt_rho cross-Jacobian is lagged
+    (quasi-Newton) which keeps the system tridiagonal instead of pentadiagonal;
+    residuals are exact so the converged states coincide.
+  * Horizontal RHS (box/HorizSolve.cpp:214-540): mass/temperature fluxes with
+    the 1/3-1/6 two-state rule, Bernoulli function with vertical-KE
+    contribution, theta-weighted Exner gradient, vertical-shear vorticity
+    cross terms, optional Coriolis (sphere) and biharmonic viscosity.
+
+Weak-form convention: every layer "2-form weak vector" is proj(physical
+value) with quadrature weights only; layer mass VB = Wblk(1/(det thick))
+coincides with the vertical constant mass, making the horizontal and vertical
+sub-systems automatically compatible.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import solvers
+from .vertical import VerticalOps, inv_small, RD, CP, CV, P0, GRAVITY
+
+
+class Euler3D:
+    def __init__(self, ops, vo: VerticalOps, dt: float, coriolis=None,
+                 do_visc: bool = False, rayleigh: float = 0.0,
+                 newton_iters: int = 4, hs_forcing: bool = False):
+        self.ops = ops
+        self.vo = vo
+        self.dt = dt
+        self.nk = vo.nk
+        self.do_visc = do_visc
+        self.rayleigh = rayleigh
+        self.newton_iters = newton_iters
+        self.hs_forcing = hs_forcing
+        self.mass_tol = 1e-13 if ops.dtype == jnp.float64 else 1e-6
+        self.f0 = ops.proj0(coriolis) if coriolis is not None else None
+        self.zv = vo.zv_gz()                     # (nk, nel, n2loc)
+        # mean layer thickness (for 1-form layer masses); (nk, nel, nq)
+        self.thickq = vo.thickq
+        if do_visc:
+            # biharmonic coefficient del^2 = -sqrt(0.072 dx^3.2) (Guba et al.
+            # 2014; eul/HorizSolve.cpp:112-119)
+            area = float(np.sum(np.asarray(ops.det) * np.asarray(ops.W)[None, :]))
+            dx = np.sqrt(area / ops.nel) / (ops.p + 1)
+            self.del2 = -np.sqrt(0.072 * dx ** 3.2)
+        self._step = jax.jit(self._step_impl)
+
+    # ================================================================ horizontal
+    def _m1k(self, u, k_weight):
+        """Layer 1-form mass: G1 * thick-type weight (vmapped over levels)."""
+        ops = self.ops
+        def one(uk, wq):
+            G = ops.G1 * wq[..., None, None]
+            return ops.scatter1(ops._apply_G(ops.gather1(uk), G))
+        return jax.vmap(one)(u, k_weight)
+
+    def apply_M1k(self, u):
+        return self._m1k(u, self.thickq)
+
+    def apply_M1hk(self, u, hphys):
+        """rho/theta-weighted layer 1-form mass; hphys (nk, nel, nq) physical."""
+        return self._m1k(u, self.thickq * hphys)
+
+    def solve_M1k(self, b):
+        """CG on the thickness-weighted layer mass, block-PC per element."""
+        ops = self.ops
+        tq = self.thickq
+        def mv(u):
+            return self._m1k(u, tq)
+        def pc(r):
+            # per-level scaling of the 2D block inverse by 1/mean(thick)
+            scale = 1.0 / jnp.mean(tq, axis=(1, 2))
+            vl = jax.vmap(lambda rk: ops.gather1(rk))(r)
+            out = jnp.einsum('eij,lej->lei', ops.M1blkinv, vl) * scale[:, None, None]
+            return jax.vmap(ops.scatter1)(out)
+        dot = lambda a, b_: jnp.vdot(a * ops.wdot1[None, :], b_)
+        return solvers.cg(mv, b, pc=pc, tol=self.mass_tol, maxiter=200, dot=dot)
+
+    def apply_M2k(self, x):
+        """Layer 2-form mass = vertical VB: proj(x_phys)."""
+        return self.vo.apply_w(self.vo.chi_VB(), x)
+
+    def e21k(self, u):
+        return jax.vmap(self.ops.e21)(u).reshape(self.nk, self.ops.nel, -1)
+
+    def e12k(self, x2):
+        return jax.vmap(self.ops.e12)(x2.reshape(self.nk, -1))
+
+    def grad_k(self, x2):
+        """Weak layer gradient M1k^-1 E12 M2k x."""
+        return self.solve_M1k(self.e12k(self.apply_M2k(x2)))
+
+    def curl_k(self, u):
+        ops = self.ops
+        return jax.vmap(lambda uk: ops.solve_M0(ops.e01(ops.apply_M1(uk))))(u)
+
+    def dudz(self, u):
+        """du/dz 1-forms on interior interfaces: M1int^-1 M1(u_{k+1} - u_k)
+        (HorizVort, box/Euler_2.cpp:1480-1522)."""
+        ops = self.ops
+        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        def solve_one(bk, tk):
+            G = ops.G1 * tk[..., None, None]
+            mv = lambda x: ops.scatter1(ops._apply_G(ops.gather1(x), G))
+            sc = 1.0 / jnp.mean(tk)
+            pc = lambda r: sc * ops.scatter1(
+                jnp.einsum('eij,ej->ei', ops.M1blkinv, ops.gather1(r)))
+            return solvers.cg(mv, bk, pc=pc, tol=self.mass_tol, maxiter=100,
+                              dot=ops.dot1)
+        return jax.vmap(solve_one)(du, tint)
+
+    def laplacian_k(self, u):
+        """Vector laplacian grad(div) - rot(curl) per layer
+        (HorizSolve::laplacian, box/HorizSolve.cpp:185-213), scaled by del2."""
+        ops = self.ops
+        d = self.e21k(u)
+        gd = self.grad_k(jax.vmap(lambda x: x)(d))
+        w = self.curl_k(u)
+        rc = jax.vmap(ops.e10)(w)
+        return self.del2 * (gd - rc)
+
+    # ---------------------------------------------------------------- fluxes
+    def diagnose_fluxes(self, u1, u2, rho1p, rho2p, theta_p):
+        """F = M1k^-1 [1/3-1/6 rule of rho-weighted masses], G = M1k^-1
+        M1h(theta-bar) F (diagnose_fluxes, box/HorizSolve.cpp:214-268).
+        rho*p are physical (nk, nel, nq); theta_p physical on nk+1 interfaces."""
+        b = (self.apply_M1hk(u1, rho1p) / 3.0 + self.apply_M1hk(u2, rho1p) / 6.0
+             + self.apply_M1hk(u1, rho2p) / 6.0 + self.apply_M1hk(u2, rho2p) / 3.0)
+        F = self.solve_M1k(b)
+        tbar = 0.5 * (theta_p[:-1] + theta_p[1:])
+        G = self.solve_M1k(self.apply_M1hk(F, tbar))
+        return F, G
+
+    def advection_rhs(self, u1, u2, rho1, rho2, theta):
+        """Horizontal flux divergences dF, dG feeding the vertical solve
+        (advection_rhs, box/HorizSolve.cpp:270-324)."""
+        vo = self.vo
+        r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
+        tp = vo.phys_int(theta)
+        F, G = self.diagnose_fluxes(u1, u2, r1p, r2p, tp)
+        return self.e21k(F), self.e21k(G), F
+
+    # ---------------------------------------------------------------- Phi / momentum
+    def diagnose_Phi(self, u1, u2, w1, w2):
+        """Bernoulli 2-form per layer: horizontal KE (1/3 rule) + vertical KE
+        contribution from layer-averaged w (1/6 rule)
+        (diagnose_Phi, box/HorizSolve.cpp:326-380)."""
+        ops, vo = self.ops, self.vo
+        K = jax.vmap(ops.apply_K)
+        phi = (K(u1, u1) + K(u1, u2) + K(u2, u2)) / 3.0
+        phi = phi.reshape(self.nk, ops.nel, -1)
+
+        def wbar_phys(w):
+            wq = vo.phys_int(w)                  # (nk-1, nel, nq)
+            z = jnp.zeros_like(wq[:1])
+            wp = jnp.concatenate([z, wq, z], 0)
+            return 0.5 * (wp[:-1] + wp[1:])      # (nk, nel, nq)
+
+        wb1, wb2 = wbar_phys(w1), wbar_phys(w2)
+        phi = phi + vo.proj((wb1 * wb1 + wb1 * wb2 + wb2 * wb2) / 6.0)
+        return phi
+
+    def momentum_rhs(self, u1, u2, w1, w2, theta, exner, uz1, uz2, Fz, dwdx1,
+                     dwdx2):
+        """Horizontal momentum rhs per layer (momentum_rhs,
+        box/HorizSolve.cpp:386-540): E12 Phi + omega x u + theta-weighted
+        grad Pi + vertical-shear cross terms + Coriolis + viscosity."""
+        ops, vo, nk = self.ops, self.vo, self.nk
+        Phi = self.diagnose_Phi(u1, u2, w1, w2)
+        fu = self.e12k(Phi)
+
+        # vorticity (plus Coriolis on the sphere) cross product
+        uh = 0.5 * (u1 + u2)
+        wk = self.curl_k(uh)
+        if self.f0 is not None:
+            wk = wk + self.f0[None, :]
+        fu = fu + jax.vmap(ops.apply_R)(wk, uh)
+
+        # theta-weighted Exner gradient
+        tbar = 0.5 * (vo.phys_int(theta)[:-1] + vo.phys_int(theta)[1:])
+        dPi = self.grad_k(exner)
+        fu = fu + self.apply_M1hk(dPi, tbar)
+
+        # vertical-shear vorticity cross terms: 1/2 sum over adjacent
+        # interfaces of weak projection of Fz_phys * (du/dz - dw/dx)
+        uzb = 0.5 * (uz1 + uz2)                         # (nk-1, ln1)
+        dwb = 0.5 * (dwdx1 + dwdx2)
+        vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
+        Fzp = vo.phys_int(Fz)                            # (nk-1, nel, nq)
+        contrib = jax.vmap(ops.rhs_P1)(vec * Fzp[..., None])
+        z = jnp.zeros_like(contrib[:1])
+        cp = jnp.concatenate([z, contrib, z], 0)
+        fu = fu + 0.5 * (cp[:-1] + cp[1:])
+
+        if self.do_visc:
+            lap = self.laplacian_k(self.laplacian_k(uh))
+            fu = fu + self.apply_M1k(lap)
+        return fu
+
+    # ================================================================ vertical implicit
+    def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):
+        """w-momentum residual F_w and the fluxes F_z, G_z
+        (assemble_residual, box/VertSolve.cpp:533-578)."""
+        vo, dt = self.vo, self.dt
+        Fz = vo.diagnose_Fz(w1, w2, rho1, rho2, VAinv)
+        Phiz = vo.diagnose_Phiz(w1, w2, self.zv)
+        chiA = vo.chi_VA()
+        fw = vo.apply_w(chiA, w2 - w1) + dt * vo.v01(Phiz)
+        # theta-weighted Exner gradient: VA(theta) VA^-1 V01 VB pi
+        gradpi = jnp.einsum('lnij,lnj->lni', VAinv,
+                            vo.v01(vo.apply_w(vo.chi_VB(), pi)))
+        tint = theta[1:-1]
+        fw = fw + dt * vo.apply_w(vo.chi_VA_theta(tint), gradpi)
+        if self.rayleigh:
+            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(chiA, w1 + w2)
+        if uuz1 is not None:
+            fw = fw + 0.5 * dt * (uuz1 + uuz2)
+        Gz = jnp.einsum('lnij,lnj->lni', VAinv,
+                        vo.apply_w(vo.chi_VA_theta(tint), Fz))
+        return fw, Fz, Gz, gradpi
+
+    def _tridiag_thomas(self, lo, di, up, b):
+        """Batched block-tridiagonal solve over the layer axis.
+        lo/di/up: (nk, nel, n2, n2) with lo[0] and up[-1] ignored; b (nk, nel, n2)."""
+        nk = self.nk
+
+        def fwd(carry, inputs):
+            Cp, Dp = carry
+            lo_k, di_k, up_k, b_k = inputs
+            denom = di_k - jnp.einsum('nij,njk->nik', lo_k, Cp)
+            dinv = inv_small(denom)
+            Cn = jnp.einsum('nij,njk->nik', dinv, up_k)
+            Dn = jnp.einsum('nij,nj->ni', dinv,
+                            b_k - jnp.einsum('nij,nj->ni', lo_k, Dp))
+            return (Cn, Dn), (Cn, Dn)
+
+        z_C = jnp.zeros_like(di[0])
+        z_D = jnp.zeros_like(b[0])
+        _, (Cs, Ds) = jax.lax.scan(fwd, (z_C, z_D), (lo, di, up, b))
+
+        def bwd(x_next, inputs):
+            C_k, D_k = inputs
+            x_k = D_k - jnp.einsum('nij,nj->ni', C_k, x_next)
+            return x_k, x_k
+
+        _, xs = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (Cs, Ds), reverse=True)
+        return xs
+
+    def vert_solve(self, w_i, rho_i, rt_i, pi_i, dFx_fn, uuz=None):
+        """Newton iterations of the vertical implicit solve (solve_schur_2,
+        box/VertSolve.cpp:1264-1458).  dFx_fn(rho_j) -> (dFx, dGx) recomputes
+        the horizontal forcing each iteration (:1332-1333)."""
+        vo, dt, nk = self.vo, self.dt, self.nk
+        chiVB = vo.chi_VB()
+        VB = vo.wblk(chiVB)
+        VAinv = vo.VA_inv_blocks()
+
+        def newton(state, _):
+            w_j, rho_j, rt_j, pi_j = state
+            theta_h = vo.diag_theta(0.5 * (rho_i + rho_j), 0.5 * (rt_i + rt_j))
+            pi_h = 0.5 * (pi_i + pi_j)
+            rho_h = 0.5 * (rho_i + rho_j)
+            rt_h = 0.5 * (rt_i + rt_j)
+            w_h = 0.5 * (w_i + w_j)
+
+            dFx, dGx, _ = dFx_fn(rho_j)
+
+            F_w, Fz, Gz, gradpi = self.vert_residual_w(
+                theta_h, pi_h, w_i, w_j, rho_i, rho_j, VAinv,
+                uuz, uuz)
+            F_pi = vo.eos_residual(rt_j, pi_j)
+            dFz = vo.v10(Fz)
+            dGz = vo.v10(Gz)
+            F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz + dt * dFx)
+            F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz + dt * dGx)
+
+            # ---- linearized blocks (at the half state) ----
+            M_u_chi = vo.chi_VA()
+            if self.rayleigh:
+                M_u_inv = inv_small(vo.wblk(M_u_chi * (1.0 + 0.5 * dt * self.rayleigh)))
+            else:
+                M_u_inv = inv_small(vo.wblk(M_u_chi))
+            N_pi_inv = inv_small(vo.n_pi_blocks(pi_h))
+            N_rt = vo.n_rt_blocks(rt_h)
+
+            # G_pi: interfaces x layers, bands {0, +1}:
+            #   0.5 dt VA(theta) VA^-1 V01 VB
+            VAth = vo.wblk(vo.chi_VA_theta(theta_h[1:-1]))
+            A_ = jnp.einsum('lnij,lnjk->lnik', VAth, VAinv)  # (nk-1,...)
+            Gpi_lo = -0.5 * dt * jnp.einsum('lnij,lnjk->lnik', A_, VB[:-1])  # col = i
+            Gpi_up = +0.5 * dt * jnp.einsum('lnij,lnjk->lnik', A_, VB[1:])   # col = i+1
+
+            # G_rt: 0.5 dt VAB(gradpi) VB(rho)^-1 VB  (bands {0,+1})
+            VBrinv = inv_small(vo.wblk(vo.chi_VB_rho(rho_h)))
+            Br = jnp.einsum('lnij,lnjk->lnik', VBrinv, VB)   # (nk, ...)
+            # VAB(gradpi)[i,k] = Wblk(0.5 gradpi_phys_i / det) for k in {i, i+1}
+            gq = vo.interp(gradpi) / vo.det                  # gradpi_phys (nk-1,..)
+            Wg = vo.wblk(0.5 * gq / vo.det)                  # (nk-1, nel, n2, n2)
+            Grt_lo = 0.5 * dt * jnp.einsum('lnij,lnjk->lnik', Wg, Br[:-1])
+            Grt_up = 0.5 * dt * jnp.einsum('lnij,lnjk->lnik', Wg, Br[1:])
+
+            # combine: Gcomb = G_rt - G_pi N_pi^-1 N_rt  (cols are layers)
+            NpiNrt = jnp.einsum('lnij,lnjk->lnik', N_pi_inv, N_rt)
+            Gc_lo = Grt_lo - jnp.einsum('lnij,lnjk->lnik', Gpi_lo, NpiNrt[:-1])
+            Gc_up = Grt_up - jnp.einsum('lnij,lnjk->lnik', Gpi_up, NpiNrt[1:])
+
+            # D_rt: layers x interfaces, bands {-1, 0}: 0.5 dt VB(rt) V10
+            VBrt = vo.wblk(vo.chi_VB_rho(rt_h))
+            # (V10 w)[k] = w[k] - w[k-1]: D[k, i=k] = +VBrt[k], D[k, i=k-1] = -VBrt[k]
+            # rows k=0..nk-1, valid i in 0..nk-2
+
+            # L = M_rt - Dcomb M_u^-1 Gcomb  (tridiagonal in layers)
+            # Dcomb = D_rt (Q_rt_rho lagged; see module docstring)
+            # L[k, m] = VB[k] delta_km
+            #   - sum_i D[k,i] Mu^-1[i] Gc[i,m]
+            MuG_lo = jnp.einsum('lnij,lnjk->lnik', M_u_inv, Gc_lo)  # (nk-1,..) col=i
+            MuG_up = jnp.einsum('lnij,lnjk->lnik', M_u_inv, Gc_up)  # col=i+1
+            dtf = 0.5 * dt
+            zero = jnp.zeros_like(VB[:1])
+            # diagonal: -[ +VBrt[k] MuG_lo[k] (i=k,m=k)  - VBrt[k] MuG_up[k-1] (i=k-1,m=k) ]
+            diag = VB - dtf * jnp.concatenate([
+                jnp.einsum('lnij,lnjk->lnik', VBrt[:-1], MuG_lo), zero], 0) \
+                + dtf * jnp.concatenate([zero,
+                jnp.einsum('lnij,lnjk->lnik', VBrt[1:], MuG_up)], 0)
+            # upper: m=k+1: -[ +VBrt[k] MuG_up[k] ]
+            up = jnp.concatenate([
+                -dtf * jnp.einsum('lnij,lnjk->lnik', VBrt[:-1], MuG_up), zero], 0)
+            # lower: m=k-1: -[ -VBrt[k] MuG_lo[k-1] ]
+            lo = jnp.concatenate([zero,
+                +dtf * jnp.einsum('lnij,lnjk->lnik', VBrt[1:], MuG_lo)], 0)
+
+            # ---- reduce residuals ----
+            FpiN = jnp.einsum('lnij,lnj->lni', N_pi_inv, F_pi)
+            Fu_p = F_w - (jnp.einsum('lnij,lnj->lni', Gpi_lo, FpiN[:-1])
+                          + jnp.einsum('lnij,lnj->lni', Gpi_up, FpiN[1:]))
+            MuF = jnp.einsum('lnij,lnj->lni', M_u_inv, Fu_p)
+            # F_rt'' = F_rt - D M_u^-1 F_u'
+            DMuF = dtf * (jnp.concatenate([
+                jnp.einsum('lnij,lnj->lni', VBrt[:-1], MuF), zero[..., 0]], 0)
+                - jnp.concatenate([zero[..., 0],
+                jnp.einsum('lnij,lnj->lni', VBrt[1:], MuF)], 0))
+            F_rt2 = F_rt - DMuF
+
+            d_rt = self._tridiag_thomas(lo, diag, up, -F_rt2)
+
+            # ---- back substitution ----
+            Gc_drt = (jnp.einsum('lnij,lnj->lni', Gc_lo, d_rt[:-1])
+                      + jnp.einsum('lnij,lnj->lni', Gc_up, d_rt[1:]))
+            d_w = -jnp.einsum('lnij,lnj->lni', M_u_inv, Fu_p + Gc_drt)
+            d_pi = -jnp.einsum('lnij,lnj->lni', N_pi_inv,
+                               F_pi + jnp.einsum('lnij,lnj->lni', N_rt, d_rt))
+            # rho: VB d_rho = -(F_rho + D_rho d_w),
+            # D_rho = 0.5 dt VB V10 VA^-1 VA(rho)
+            rw = jnp.einsum('lnij,lnj->lni', VAinv,
+                            vo.apply_w(vo.chi_VA_rho(rho_h), d_w))
+            d_rho = -jnp.einsum('lnij,lnj->lni', inv_small(VB),
+                                F_rho + dtf * vo.apply_w(chiVB, vo.v10(rw)))
+
+            return (w_j + d_w, rho_j + d_rho, rt_j + d_rt, pi_j + d_pi), None
+
+        state = (w_i, rho_i, rt_i, pi_i)
+        state, _ = jax.lax.scan(newton, state, None, length=self.newton_iters)
+        return state
+
+    # ================================================================ aux diagnostics
+    def grad_int(self, w):
+        """Horizontal gradient 1-forms of the interface field w (diagVertVort
+        analogue, eul/HorizSolve.cpp:823-861)."""
+        ops, vo = self.ops, self.vo
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
+        b = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
+        def solve_one(bk, tk):
+            G = ops.G1 * tk[..., None, None]
+            mv = lambda x: ops.scatter1(ops._apply_G(ops.gather1(x), G))
+            sc = 1.0 / jnp.mean(tk)
+            pc = lambda r: sc * ops.scatter1(
+                jnp.einsum('eij,ej->ei', ops.M1blkinv, ops.gather1(r)))
+            return solvers.cg(mv, bk, pc=pc, tol=self.mass_tol, maxiter=100,
+                              dot=ops.dot1)
+        return jax.vmap(solve_one)(b, tint)
+
+    def uuz_term(self, u, uz):
+        """u . du/dz projected onto interface 2-forms (AssembleVertMomVort,
+        box/VertSolve.cpp:1460+)."""
+        ops, vo = self.ops, self.vo
+        ub = 0.5 * (u[:-1] + u[1:])                     # interface-avg velocity
+        up = jax.vmap(ops.interp1_phys)(ub)             # (nk-1, nel, nq, 2)
+        uzp = jax.vmap(ops.interp1_phys)(uz)
+        return vo.proj(jnp.sum(up * uzp, axis=-1))
+
+    # ================================================================ step
+    def _step_impl(self, velx, w, rho, rt, exner, velx_prev, first):
+        vo, dt, nk = self.vo, self.dt, self.nk
+        theta_i = vo.diag_theta(rho, rt)
+
+        # --- 1. explicit horizontal predictor (leapfrog 2dt after first step)
+        uz1 = self.dudz(velx)
+        dwdx1 = self.grad_int(w)
+        VAinv = vo.VA_inv_blocks()
+        Fz1 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
+        fu0 = self.momentum_rhs(velx, velx, w, w, theta_i, exner, uz1, uz1,
+                                Fz1, dwdx1, dwdx1)
+        bu = jnp.where(first,
+                       self.apply_M1k(velx) - dt * fu0,
+                       self.apply_M1k(velx_prev) - 2.0 * dt * fu0)
+        velx_1 = self.solve_M1k(bu)
+
+        # --- 2. implicit vertical solve
+        uuz = self.uuz_term(velx, uz1)
+        def dFx_fn(rho_j):
+            theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt)
+            return self.advection_rhs(velx, velx_1, rho, rho_j, theta_h)
+        w_j, rho_j, rt_j, pi_j = self.vert_solve(w, rho, rt, exner, dFx_fn, uuz)
+
+        # --- 3. explicit horizontal corrector (dt, midpoint fields)
+        theta_j = vo.diag_theta(rho_j, rt_j)
+        theta_h = 0.5 * (theta_i + theta_j)
+        pi_h = 0.5 * (exner + pi_j)
+        uz2 = self.dudz(velx_1)
+        dwdx2 = self.grad_int(w_j)
+        Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
+        fu = self.momentum_rhs(velx, velx_1, w_j, w, theta_h, pi_h, uz2, uz1,
+                               Fz, dwdx1, dwdx2)
+        velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
+
+        return velx_2, w_j, rho_j, rt_j, pi_j, velx
+
+    def step(self, state, first=False):
+        """state = (velx, w, rho, rt, exner, velx_prev)."""
+        return self._step(*state, jnp.asarray(first))
+
+    # ================================================================ energetics
+    def energetics(self, velx, w, rho, rt, exner):
+        """Energy budget (diagnostics, box/Euler_2.cpp:887-1026): horizontal
+        and vertical KE, potential, internal energies, mass, entropy."""
+        ops, vo = self.ops, self.vo
+        dV = ops.W[None] * vo.det[None] * vo.thickq       # (nk, nel, nq)
+        rhop = vo.phys_layer(rho)
+        rtp = vo.phys_layer(rt)
+        pip = vo.phys_layer(exner)
+        up = jax.vmap(ops.interp1_phys)(velx)             # (nk, nel, nq, 2)
+        k_h = jnp.sum(dV * 0.5 * rhop * jnp.sum(up ** 2, axis=-1))
+        wq = vo.phys_int(w)
+        z = jnp.zeros_like(wq[:1])
+        wp = jnp.concatenate([z, wq, z], 0)
+        wbar = 0.5 * (wp[:-1] + wp[1:])
+        k_v = jnp.sum(dV * 0.5 * rhop * wbar ** 2)
+        zbar = 0.5 * (vo.levs[:-1] + vo.levs[1:])
+        pe = jnp.sum(dV * rhop * GRAVITY * zbar)
+        ie = jnp.sum(dV * (CV / CP) * rtp * pip)
+        mass = jnp.sum(dV * rhop)
+        entr = jnp.sum(dV * 0.5 * rtp * (rtp / jnp.maximum(rhop, 1e-12)))
+        return dict(k_h=k_h, k_v=k_v, pe=pe, ie=ie, mass=mass, entr=entr)
+
+    # ================================================================ init
+    def project_layers(self, f):
+        """Project f(x_horiz, z_mid) to layer 2-form coefficients.
+        f: callable (x (nel, nq, 3), z (nel, nq)) -> (nel, nq) physical."""
+        vo = self.vo
+        zmid = 0.5 * (vo.levs[:-1] + vo.levs[1:])
+        vals = jax.vmap(lambda zk: f(self.ops.x, zk))(zmid)
+        return vo._project_layer(vals)
+
+    def project_velx(self, fu, fv):
+        """Per-level projection of horizontal velocity (fu/fv of (x, z))."""
+        ops, vo = self.ops, self.vo
+        zmid = 0.5 * (vo.levs[:-1] + vo.levs[1:])
+        def one(zk):
+            fq = jnp.stack([fu(ops.x, zk), fv(ops.x, zk)], axis=-1)
+            return ops.solve_M1(ops.rhs_P1(fq), tol=self.mass_tol)
+        return jax.vmap(one)(zmid)

@@ -225,10 +225,10 @@ class VerticalOps:
         return self._project_layer(piq)
 
     def _project_layer(self, vals_phys):
-        """Project physical layer values to 2-form coefficients: solve
-        VB x = proj(vals/det/... ). With colocated quadrature the 2-form mass
-        is a dense 9x9 block; use exact block inverse."""
-        rhs = self.proj(vals_phys / self.det)
+        """Weak projection of physical layer values onto 2-form coefficients:
+        VB x = <test, vals> with the thickness-scaled layer mass VB, so that
+        phys_layer(x) ~= vals (exact block inverse, no iteration)."""
+        rhs = self.proj(vals_phys)
         blocks = self.VB_inv_blocks()
         return jnp.einsum('lnij,lnj->lni', blocks, rhs)
 
