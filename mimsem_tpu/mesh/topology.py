@@ -77,15 +77,12 @@ def _quantize(mesh: dict, pos: np.ndarray, tol: float) -> np.ndarray:
 
 
 def _merge(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-    """Merge rows of integer keys: returns (gid per row, first-occurrence row, count)."""
-    uniq, first, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
-    # renumber so ids follow first-occurrence order (locality: owner-element order)
-    order = np.argsort(first, kind='stable')
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    gid = rank[inv.ravel()]
-    first_occ = first[order]
-    return gid, first_occ, len(uniq)
+    """Merge rows of integer keys: (gid per row, first-occurrence row, count).
+
+    Delegates to the native C++ engine (native/topology.cpp via ctypes) with a
+    numpy fallback -- the framework's graph-builder core."""
+    from ..native import merge_rows
+    return merge_rows(keys)
 
 
 def build_topology(mesh: dict, p: int) -> Topology:

@@ -268,7 +268,8 @@ class Euler3D:
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (Cs, Ds), reverse=True)
         return xs
 
-    def vert_solve(self, w_i, rho_i, rt_i, pi_i, dFx_fn, uuz=None):
+    def vert_solve(self, w_i, rho_i, rt_i, pi_i, dFx_fn, uuz=None,
+                   rt_forcing_fn=None):
         """Newton iterations of the vertical implicit solve (solve_schur_2,
         box/VertSolve.cpp:1264-1458).  dFx_fn(rho_j) -> (dFx, dGx) recomputes
         the horizontal forcing each iteration (:1332-1333)."""
@@ -295,6 +296,8 @@ class Euler3D:
             dGz = vo.v10(Gz)
             F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz + dt * dFx)
             F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz + dt * dGx)
+            if rt_forcing_fn is not None:
+                F_rt = F_rt + dt * rt_forcing_fn(rho_h, rt_h, pi_h, theta_h)
 
             # ---- linearized blocks (at the half state) ----
             M_u_chi = vo.chi_VA()
@@ -384,6 +387,38 @@ class Euler3D:
         state, _ = jax.lax.scan(newton, state, None, length=self.newton_iters)
         return state
 
+    # ================================================================ Held-Suarez forcing
+    def hs_friction(self, u, exner):
+        """Rayleigh boundary-layer friction k_v(sigma) u (Held & Suarez 1994;
+        Umat_ray, eul/Assembly.h:325-335).  Applied explicitly (k_f dt << 1)."""
+        vo = self.vo
+        kf = 1.0 / 86400.0
+        sigma_b = 0.7
+        pip = vo.phys_layer(exner)
+        p = (pip / CP) ** (CP / RD)
+        sigma = p / p[0:1]
+        kv = kf * jnp.maximum(0.0, (sigma - sigma_b) / (1.0 - sigma_b))
+        return self._m1k(u, self.thickq * kv)
+
+    def hs_temp_forcing(self, rho, rt, exner, theta):
+        """Temperature relaxation rho k_T (theta - theta_eq) projected onto
+        layers (compute_k_T/AssembleTempForcing_HS, eul/VertOps.cpp)."""
+        vo = self.vo
+        phi = self.ops.lonlat[None, :, :, 1]
+        pip = vo.phys_layer(exner)
+        p = (pip / CP) ** (CP / RD)
+        sigma = p / p[0:1]
+        ka, ks = 1.0 / 40.0 / 86400.0, 1.0 / 4.0 / 86400.0
+        sigma_b = 0.7
+        kt = ka + jnp.maximum(0.0, (sigma - sigma_b) / (1.0 - sigma_b)) \
+            * (ks - ka) * jnp.cos(phi) ** 4
+        t_eq = (315.0 - 60.0 * jnp.sin(phi) ** 2
+                - 10.0 * jnp.log(p) * jnp.cos(phi) ** 2) * p ** (RD / CP)
+        t_eq = jnp.maximum(t_eq, 200.0)
+        theta_eq = t_eq * p ** (-RD / CP)
+        thq = 0.5 * (vo.phys_int(theta)[:-1] + vo.phys_int(theta)[1:])
+        return vo.proj(vo.phys_layer(rho) * kt * (thq - theta_eq))
+
     # ================================================================ aux diagnostics
     def grad_int(self, w):
         """Horizontal gradient 1-forms of the interface field w (diagVertVort
@@ -423,6 +458,8 @@ class Euler3D:
         Fz1 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
         fu0 = self.momentum_rhs(velx, velx, w, w, theta_i, exner, uz1, uz1,
                                 Fz1, dwdx1, dwdx1)
+        if self.hs_forcing:
+            fu0 = fu0 + self.hs_friction(velx, exner)
         bu = jnp.where(first,
                        self.apply_M1k(velx) - dt * fu0,
                        self.apply_M1k(velx_prev) - 2.0 * dt * fu0)
@@ -433,7 +470,12 @@ class Euler3D:
         def dFx_fn(rho_j):
             theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt)
             return self.advection_rhs(velx, velx_1, rho, rho_j, theta_h)
-        w_j, rho_j, rt_j, pi_j = self.vert_solve(w, rho, rt, exner, dFx_fn, uuz)
+        rt_forcing = self.hs_temp_forcing if self.hs_forcing else None
+        def rt_forcing_fn(rho_h, rt_h, pi_h, theta_h):
+            return self.hs_temp_forcing(rho_h, rt_h, pi_h, theta_h)
+        w_j, rho_j, rt_j, pi_j = self.vert_solve(
+            w, rho, rt, exner, dFx_fn, uuz,
+            rt_forcing_fn=rt_forcing_fn if self.hs_forcing else None)
 
         # --- 3. explicit horizontal corrector (dt, midpoint fields)
         theta_j = vo.diag_theta(rho_j, rt_j)
@@ -444,6 +486,8 @@ class Euler3D:
         Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
         fu = self.momentum_rhs(velx, velx_1, w_j, w, theta_h, pi_h, uz2, uz1,
                                Fz, dwdx1, dwdx2)
+        if self.hs_forcing:
+            fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
         velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
 
         return velx_2, w_j, rho_j, rt_j, pi_j, velx

@@ -1,0 +1,114 @@
+"""Non-hydrostatic gravity wave on a reduced planet (DCMIP 2012 TC 3.1).
+
+Reference: eul/GravWave.cpp:20-130 -- radius R_earth/125, Omega=0, NK=16
+uniform levels to 10 km, N^2=1e-4 isothermal-stratified base state with a
+potential-temperature perturbation, dt=0.5 s, trapezoidal/Strang HEVI.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..basis import make_basis
+from ..mesh.cubed_sphere import cubed_sphere_mesh
+from ..mesh.topology import build_topology
+from ..mesh.geometry import build_geometry
+from ..ops.local_form import LocalOps
+from ..models.vertical import VerticalOps, RD, CP, CV, P0, GRAVITY
+from ..models.euler3d import Euler3D
+
+RAD = 6371220.0 / 125.0
+ZTOP = 10000.0
+U0 = 20.0
+N2 = 1.0e-4
+TEQ = 300.0
+LAMBDA_C = 2.0 * np.pi / 3.0
+PHI_C = 0.0
+TP_D = 5000.0
+TP_DELTA = 1.0
+TP_LZ = 20000.0
+
+
+def _latlon(x):
+    phi = jnp.arcsin(jnp.clip(x[..., 2] / RAD, -1, 1))
+    lam = jnp.arctan2(x[..., 1], x[..., 0])
+    return lam, phi
+
+
+def temp_surf(phi):
+    G = GRAVITY * GRAVITY / N2 / CP
+    fac = 0.25 * U0 * N2 / GRAVITY / GRAVITY
+    return G + (TEQ - G) * jnp.exp(-fac * U0 * (jnp.cos(2 * phi) - 1.0))
+
+
+def pres_surf(phi):
+    G = GRAVITY * GRAVITY / N2 / CP
+    Ts = temp_surf(phi)
+    kappa = RD / CP
+    fac1 = (0.25 * U0 / G / RD) * U0 * (jnp.cos(2 * phi) - 1.0)
+    return P0 * jnp.exp(fac1) * (Ts / TEQ) ** (1.0 / kappa)
+
+
+def pres(phi, z):
+    G = GRAVITY * GRAVITY / N2 / CP
+    Ts = temp_surf(phi)
+    return pres_surf(phi) * ((G / Ts) * jnp.exp(-N2 * z / GRAVITY)
+                             + 1.0 - G / Ts) ** (CP / RD)
+
+
+def temp_back(phi, z):
+    G = GRAVITY * GRAVITY / N2 / CP
+    Ts = temp_surf(phi)
+    f = jnp.exp(N2 * z / GRAVITY)
+    return G * (1.0 - f) + Ts * f
+
+
+def theta_back(phi, z):
+    Ts = temp_surf(phi)
+    Ps = pres_surf(phi)
+    return Ts * (P0 / Ps) ** (RD / CP) * jnp.exp(N2 * z / GRAVITY)
+
+
+def theta_prime(x, z):
+    lam, phi = _latlon(x)
+    r = RAD * jnp.arccos(jnp.clip(
+        jnp.sin(PHI_C) * jnp.sin(phi)
+        + jnp.cos(PHI_C) * jnp.cos(phi) * jnp.cos(lam - LAMBDA_C), -1, 1))
+    s = TP_D * TP_D / (TP_D * TP_D + r * r)
+    return TP_DELTA * s * jnp.sin(2.0 * np.pi * z / TP_LZ)
+
+
+def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 0.5, dtype=None,
+          el_sharding=None, **kw):
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    mesh = cubed_sphere_mesh(ne, radius=RAD)
+    topo = build_topology(mesh, p)
+    basis = make_basis(p)
+    geom = build_geometry(mesh, basis)
+    ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
+    levs = np.linspace(0.0, ZTOP, nk + 1)[:, None, None] \
+        * np.ones((1, ops.nel, basis.nq))
+    vo = VerticalOps(ops, levs)
+    eul = Euler3D(ops, vo, dt=dt, **kw)
+
+    def rho_f(x, z):
+        lam, phi = _latlon(x)
+        return pres(phi, z) / (RD * temp_back(phi, z))
+
+    def rt_f(x, z):
+        lam, phi = _latlon(x)
+        return rho_f(x, z) * (theta_back(phi, z) + theta_prime(x, z))
+
+    def pi_f(x, z):
+        lam, phi = _latlon(x)
+        return CP * (pres(phi, z) / P0) ** (RD / CP)
+
+    rho = eul.project_layers(rho_f)
+    rt = eul.project_layers(rt_f)
+    exner = eul.project_layers(pi_f)
+    velx = eul.project_velx(lambda x, z: U0 * jnp.cos(_latlon(x)[1]),
+                            lambda x, z: jnp.zeros(x.shape[:-1], dtype))
+    w = jnp.zeros((nk - 1, ops.nel, p * p), dtype)
+    return eul, (velx, w, rho, rt, exner, velx)

@@ -1,0 +1,54 @@
+"""Model-level conservation regressions: advection, thermal SW, Rosenbrock."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mimsem_tpu.utils import diagnostics as dg
+
+
+def test_advection_mass_conservation():
+    from mimsem_tpu.testcases import solid_body
+    adv, u, h = solid_body.build(ne=2, p=3)
+    m0 = float(dg.int2(adv.ops, h))
+    h1 = adv.step(h, u)
+    h1 = adv.step(h1, u)
+    m1 = float(dg.int2(adv.ops, h1))
+    assert abs((m1 - m0) / m0) < 1e-12
+
+
+def test_thermal_sw_conservation():
+    from mimsem_tpu.testcases import thermo_geo
+    tsw, u, h, S = thermo_geo.build(ne=2, p=3)
+    c0 = {k: float(v) for k, v in tsw.conservation(u, h, S).items()}
+    u1, h1, S1 = tsw.step(u, h, S)
+    c1 = {k: float(v) for k, v in tsw.conservation(u1, h1, S1).items()}
+    # mass and buoyancy exact; energy drift small for one SSP-RK3 step
+    assert abs((c1['mass'] - c0['mass']) / c0['mass']) < 1e-12
+    assert abs((c1['buoy'] - c0['buoy']) / c0['buoy']) < 1e-12
+    assert abs((c1['ener'] - c0['ener']) / c0['ener']) < 1e-6
+
+
+def test_rosenbrock_w2_steady():
+    from mimsem_tpu.testcases import williamson2 as w2
+    from mimsem_tpu.models.swe_rosenbrock import SWEqnRosenbrock
+    from mimsem_tpu.basis import make_basis
+    from mimsem_tpu.mesh.cubed_sphere import cubed_sphere_mesh
+    from mimsem_tpu.mesh.topology import build_topology
+    from mimsem_tpu.mesh.geometry import build_geometry
+    from mimsem_tpu.ops.local_form import LocalOps
+
+    mesh = cubed_sphere_mesh(2)
+    topo = build_topology(mesh, 3)
+    basis = make_basis(3)
+    geom = build_geometry(mesh, basis)
+    ops = LocalOps(topo, basis, geom, mesh)
+    sw = SWEqnRosenbrock(ops, dt=300.0, grav=w2.GRAV, omega=w2.OMEGA,
+                         coriolis=w2.coriolis)
+    u = ops.proj1(w2.u_init, w2.v_init, tol=1e-13)
+    h = ops.proj2(w2.h_init)
+    n0 = dg.err2(ops, h, w2.h_init)
+    uj, hj = sw.step(u, h)
+    n1 = dg.err2(ops, hj, w2.h_init)
+    # steady state preserved at truncation level
+    assert float(n1[1]) < 3.0 * float(n0[1]) + 1e-6
