@@ -56,6 +56,41 @@ def run_sw(sw, u, h, nsteps, dump_every, outdir="output", bot=None,
     return u, h
 
 
+def run_euler(eul, state, nsteps, dump_every, outdir="output", start_step=0,
+              verbose=True):
+    """3D Euler HEVI loop with energetics monitoring (the analogue of
+    eul/UMJS14.cpp:334-353 + Euler::diagnostics -> energetics.dat)."""
+    os.makedirs(outdir, exist_ok=True)
+    e0 = {k: float(v) for k, v in eul.energetics(*state[:5]).items()}
+    hdr = ["k_h", "k_v", "pe", "ie", "mass", "entr"]
+    dump = start_step // max(dump_every, 1)
+    first = (start_step == 0)
+    for step in range(start_step + 1, nsteps + 1):
+        t0 = time.time()
+        state = eul.step(state, first=first)
+        first = False
+        if verbose:
+            print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s", flush=True)
+        if dump_every and step % dump_every == 0:
+            dump += 1
+            velx, w, rho, rt, exner, _ = state
+            e = {k: float(v) for k, v in eul.energetics(velx, w, rho, rt,
+                                                        exner).items()}
+            with open(os.path.join(outdir, "energetics.dat"), "a") as f:
+                cols = [step * eul.dt / 86400.0] + [e[k] for k in hdr]
+                f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+            theta = eul.vo.diag_theta(rho, rt)
+            np.savez_compressed(
+                os.path.join(outdir, f"euler_{dump:04d}.npz"),
+                velx=np.asarray(velx), w=np.asarray(w), rho=np.asarray(rho),
+                rt=np.asarray(rt), exner=np.asarray(exner),
+                theta=np.asarray(theta))
+            mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
+                                step, velx=velx, w=w, rho=rho, rt=rt,
+                                exner=exner, velx_prev=state[5])
+    return state
+
+
 def run_tsw(tsw, u, h, S, nsteps, dump_every, outdir="output", start_step=0,
             verbose=True):
     """Thermal-SW (EEC, SSP-RK3) loop (src/GalewskyTSW_2.cpp:182-199)."""
