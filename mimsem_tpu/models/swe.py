@@ -56,7 +56,7 @@ class SWEqn:
                  grav: float = EARTH_GRAV, omega: float = EARTH_OMEGA,
                  hmean: float = 1.0e4, alpha: float = 0.5, up_tau: float = 0.5,
                  coriolis=None, nits: int = 2, gmres_tol: float = None,
-                 gmres_restart: int = 30, gmres_maxiter: int = 4):
+                 gmres_restart: int = None, gmres_maxiter: int = None):
         self.ops = ops
         self.dt = dt
         self.grav = grav
@@ -65,10 +65,19 @@ class SWEqn:
         self.alpha = alpha
         self.up_tau = up_tau
         self.nits = nits
+        f64 = ops.dtype == jnp.float64
         if gmres_tol is None:
-            gmres_tol = 1e-12 if ops.dtype == jnp.float64 else 2e-6
+            gmres_tol = 1e-12 if f64 else 2e-6
+        # f32 GMRES on the Helmholtz system stalls at ~3e-3 relative (well
+        # below the f32 truncation error of the discretization); short cycles
+        # avoid burning masked iterations (measured: 12x2 matches 30x4 accuracy
+        # at ~1/4 the cost on TPU v5e)
+        if gmres_restart is None:
+            gmres_restart = 30 if f64 else 12
+        if gmres_maxiter is None:
+            gmres_maxiter = 4 if f64 else 2
         self.gmres_tol = gmres_tol
-        self.mass_tol = 1e-13 if ops.dtype == jnp.float64 else 1e-6
+        self.mass_tol = 1e-13 if f64 else 1e-6
         self.gmres_restart = gmres_restart
         self.gmres_maxiter = gmres_maxiter
 
