@@ -26,7 +26,12 @@ def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200, dot=None):
         pc = lambda r: r
     if dot is None:
         dot = jnp.vdot
-    x = jnp.zeros_like(b) if x0 is None else x0
+    # normalize the rhs: keeps f32 dot products away from under/overflow for
+    # strongly scaled systems (coefficients carry det*thick factors)
+    bscale = jnp.sqrt(dot(b, b))
+    binv = jnp.where(bscale > 0, 1.0 / jnp.where(bscale == 0, 1.0, bscale), 0.0)
+    b = b * binv
+    x = jnp.zeros_like(b) if x0 is None else x0 * binv
     r = b - mv(x) if x0 is not None else b
     z = pc(r)
     p = z
@@ -51,7 +56,7 @@ def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200, dot=None):
         return (x, r, p, rz_new, k + 1)
 
     x, r, p, rz, k = lax.while_loop(cond, body, (x, r, p, rz, 0))
-    return x
+    return x * bscale
 
 
 def richardson(mv, b, pc, niter=8, x0=None):
@@ -89,7 +94,10 @@ def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30,
     dtype = b.dtype
     wv = jnp.ones((), dtype) if weight is None else weight
     wdot = lambda a, c: jnp.vdot(a * wv, c)
-    x = jnp.zeros_like(b) if x0 is None else x0
+    bscale = jnp.sqrt(wdot(b, b))
+    binv = jnp.where(bscale > 0, 1.0 / jnp.where(bscale == 0, 1.0, bscale), 0.0)
+    b = b * binv
+    x = jnp.zeros_like(b) if x0 is None else x0 * binv
     bnorm = jnp.sqrt(wdot(b, b))
     tol_abs = tol * jnp.maximum(bnorm, 1e-300)
 
@@ -170,4 +178,4 @@ def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30,
 
     r0 = b - mv(x) if x0 is not None else b
     x, _, _ = lax.while_loop(cond, body, (x, 0, jnp.sqrt(wdot(r0, r0))))
-    return x
+    return x * bscale
