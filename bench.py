@@ -44,6 +44,31 @@ def main():
 
     sps = steps / dt_wall
     value = ndofs * sps
+
+    # secondary: 3D baroclinic Euler (UMJS14 config family, reduced size for
+    # the bench window; full config is ne=48/4-equivalent, nk=30)
+    euler = {}
+    try:
+        ne3 = int(os.environ.get("BENCH_NE3", "6"))
+        nk3 = int(os.environ.get("BENCH_NK3", "16"))
+        steps3 = int(os.environ.get("BENCH_STEPS3", "5"))
+        from mimsem_tpu.testcases import umjs14
+        eul, state = umjs14.build(ne=ne3, p=p, nk=nk3, dt=75.0,
+                                  dtype=jnp.float32)
+        state = eul.step(state, first=True)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(steps3):
+            state = eul.step(state)
+        jax.block_until_ready(state)
+        sps3 = steps3 / (time.perf_counter() - t0)
+        nd3 = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk3
+        euler = {"euler3d_dof_steps_per_sec": nd3 * sps3,
+                 "euler3d_steps_per_sec": sps3,
+                 "euler3d_ne": ne3, "euler3d_nk": nk3}
+    except Exception as e:  # never fail the headline metric
+        euler = {"euler3d_error": repr(e)[:200]}
+
     out = {
         "metric": "dof_steps_per_sec",
         "value": value,
@@ -51,7 +76,7 @@ def main():
         "vs_baseline": value / BENCH_ANCHOR,
         "config": {"case": "galewsky", "ne": ne, "p": p, "ndofs": ndofs,
                    "steps_per_sec": sps, "device": str(jax.devices()[0]),
-                   "dtype": "float32"},
+                   "dtype": "float32", **euler},
     }
     print(json.dumps(out))
 

@@ -31,8 +31,6 @@ sub-systems automatically compatible.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -136,7 +134,7 @@ class Euler3D:
         (HorizSolve::laplacian, box/HorizSolve.cpp:185-213), scaled by del2."""
         ops = self.ops
         d = self.e21k(u)
-        gd = self.grad_k(jax.vmap(lambda x: x)(d))
+        gd = self.grad_k(d)
         w = self.curl_k(u)
         rc = jax.vmap(ops.e10)(w)
         return self.del2 * (gd - rc)
@@ -470,12 +468,9 @@ class Euler3D:
         def dFx_fn(rho_j):
             theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt)
             return self.advection_rhs(velx, velx_1, rho, rho_j, theta_h)
-        rt_forcing = self.hs_temp_forcing if self.hs_forcing else None
-        def rt_forcing_fn(rho_h, rt_h, pi_h, theta_h):
-            return self.hs_temp_forcing(rho_h, rt_h, pi_h, theta_h)
         w_j, rho_j, rt_j, pi_j = self.vert_solve(
             w, rho, rt, exner, dFx_fn, uuz,
-            rt_forcing_fn=rt_forcing_fn if self.hs_forcing else None)
+            rt_forcing_fn=self.hs_temp_forcing if self.hs_forcing else None)
 
         # --- 3. explicit horizontal corrector (dt, midpoint fields)
         theta_j = vo.diag_theta(rho_j, rt_j)

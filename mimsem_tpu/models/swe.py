@@ -20,8 +20,6 @@ UP_TAU = 0.5 (src/SWEqn_Picard.cpp:27-30).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ block inverse from SpaceOps.pc_M1, the analogue of PCBJACOBI).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
