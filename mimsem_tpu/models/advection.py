@@ -38,7 +38,7 @@ class AdvEqn:
         k2 = self.rhs(h1, u)
         h2 = 0.75 * h + 0.25 * (h1 + dt * k2)
         k3 = self.rhs(h2, u)
-        return h / 3.0 + (2.0 / 3.0) * (h2 + dt * k3)
+        return (h / 3.0 + (2.0 / 3.0) * (h2 + dt * k3)).astype(self.ops.dtype)
 
     def step(self, h, u):
         return self._step(h, u)

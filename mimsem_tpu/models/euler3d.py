@@ -42,9 +42,24 @@ from .vertical import VerticalOps, inv_small, RD, CP, CV, P0, GRAVITY
 class Euler3D:
     def __init__(self, ops, vo: VerticalOps, dt: float, coriolis=None,
                  do_visc: bool = False, rayleigh: float = 0.0,
-                 newton_iters: int = 4, hs_forcing: bool = False):
+                 newton_iters: int = 4, hs_forcing: bool = False,
+                 f64_resid: bool = None):
         self.ops = ops
         self.vo = vo
+        # f32 runs: assemble the vertical residuals in f64 to avoid the
+        # hydrostatic cancellation (V01 Phi_z vs theta grad Pi are large
+        # opposing terms); arrays are small [nk, nel, n2loc] so the emulated
+        # f64 cost is bounded.  Block algebra stays in the working dtype.
+        if f64_resid is None:
+            f64_resid = (ops.dtype == jnp.float32
+                         and jax.config.jax_enable_x64)
+        self.f64_resid = f64_resid
+        if f64_resid and ops.dtype == jnp.float32:
+            self.vo64 = VerticalOps(ops, np.asarray(vo.levs, np.float64),
+                                    dtype=jnp.float64)
+            self.zv64 = self.vo64.zv_gz()
+        else:
+            self.vo64 = None
         self.dt = dt
         self.nk = vo.nk
         self.do_visc = do_visc
@@ -219,11 +234,16 @@ class Euler3D:
 
     # ================================================================ vertical implicit
     def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):
+        return self._vert_residual_w_in(self.vo, self.zv, theta, pi, w1, w2,
+                                        rho1, rho2, VAinv, uuz1)
+
+    def _vert_residual_w_in(self, vo, zv, theta, pi, w1, w2, rho1, rho2,
+                            VAinv, uuz):
         """w-momentum residual F_w and the fluxes F_z, G_z
         (assemble_residual, box/VertSolve.cpp:533-578)."""
-        vo, dt = self.vo, self.dt
+        dt = self.dt
         Fz = vo.diagnose_Fz(w1, w2, rho1, rho2, VAinv)
-        Phiz = vo.diagnose_Phiz(w1, w2, self.zv)
+        Phiz = vo.diagnose_Phiz(w1, w2, zv)
         chiA = vo.chi_VA()
         fw = vo.apply_w(chiA, w2 - w1) + dt * vo.v01(Phiz)
         # theta-weighted Exner gradient: VA(theta) VA^-1 V01 VB pi
@@ -233,8 +253,8 @@ class Euler3D:
         fw = fw + dt * vo.apply_w(vo.chi_VA_theta(tint), gradpi)
         if self.rayleigh:
             fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(chiA, w1 + w2)
-        if uuz1 is not None:
-            fw = fw + 0.5 * dt * (uuz1 + uuz2)
+        if uuz is not None:
+            fw = fw + dt * uuz
         Gz = jnp.einsum('lnij,lnj->lni', VAinv,
                         vo.apply_w(vo.chi_VA_theta(tint), Fz))
         return fw, Fz, Gz, gradpi
@@ -286,14 +306,33 @@ class Euler3D:
 
             dFx, dGx, _ = dFx_fn(rho_j)
 
-            F_w, Fz, Gz, gradpi = self.vert_residual_w(
-                theta_h, pi_h, w_i, w_j, rho_i, rho_j, VAinv,
-                uuz, uuz)
-            F_pi = vo.eos_residual(rt_j, pi_j)
-            dFz = vo.v10(Fz)
-            dGz = vo.v10(Gz)
-            F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz + dt * dFx)
-            F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz + dt * dGx)
+            if self.vo64 is not None:
+                c64 = lambda a: jnp.asarray(a, jnp.float64)
+                vo_r, zv_r = self.vo64, self.zv64
+                VAinv_r = vo_r.VA_inv_blocks()
+                F_w, Fz, Gz, gradpi = self._vert_residual_w_in(
+                    vo_r, zv_r, c64(theta_h), c64(pi_h), c64(w_i), c64(w_j),
+                    c64(rho_i), c64(rho_j), VAinv_r,
+                    None if uuz is None else c64(uuz))
+                F_pi = vo_r.eos_residual(c64(rt_j), c64(pi_j))
+                dFz = vo_r.v10(Fz)
+                dGz = vo_r.v10(Gz)
+                F_rho = vo_r.apply_w(vo_r.chi_VB(),
+                                     c64(rho_j - rho_i) + dt * dFz + dt * c64(dFx))
+                F_rt = vo_r.apply_w(vo_r.chi_VB(),
+                                    c64(rt_j - rt_i) + dt * dGz + dt * c64(dGx))
+                f32 = lambda a: jnp.asarray(a, self.ops.dtype)
+                F_w, F_pi, F_rho, F_rt = map(f32, (F_w, F_pi, F_rho, F_rt))
+                gradpi = f32(gradpi)
+            else:
+                F_w, Fz, Gz, gradpi = self.vert_residual_w(
+                    theta_h, pi_h, w_i, w_j, rho_i, rho_j, VAinv,
+                    uuz, uuz)
+                F_pi = vo.eos_residual(rt_j, pi_j)
+                dFz = vo.v10(Fz)
+                dGz = vo.v10(Gz)
+                F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz + dt * dFx)
+                F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz + dt * dGx)
             if rt_forcing_fn is not None:
                 F_rt = F_rt + dt * rt_forcing_fn(rho_h, rt_h, pi_h, theta_h)
 
@@ -379,7 +418,9 @@ class Euler3D:
             d_rho = -jnp.einsum('lnij,lnj->lni', inv_small(VB),
                                 F_rho + dtf * vo.apply_w(chiVB, vo.v10(rw)))
 
-            return (w_j + d_w, rho_j + d_rho, rt_j + d_rt, pi_j + d_pi), None
+            d = self.ops.dtype
+            return ((w_j + d_w).astype(d), (rho_j + d_rho).astype(d),
+                    (rt_j + d_rt).astype(d), (pi_j + d_pi).astype(d)), None
 
         state = (w_i, rho_i, rt_i, pi_i)
         state, _ = jax.lax.scan(newton, state, None, length=self.newton_iters)
@@ -485,7 +526,9 @@ class Euler3D:
             fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
         velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
 
-        return velx_2, w_j, rho_j, rt_j, pi_j, velx
+        d = self.ops.dtype
+        return (velx_2.astype(d), w_j.astype(d), rho_j.astype(d),
+                rt_j.astype(d), pi_j.astype(d), velx.astype(d))
 
     def step(self, state, first=False):
         """state = (velx, w, rho, rt, exner, velx_prev)."""

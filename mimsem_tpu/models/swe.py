@@ -186,7 +186,8 @@ class SWEqn:
             du, dh = self.solve_coupled(-ru, -rh)
             uj = uj + du
             hj = hj + dh
-        return uj, hj
+        # pin the working dtype (guards weak-type promotion under x64)
+        return uj.astype(self.ops.dtype), hj.astype(self.ops.dtype)
 
     def step(self, u, h, bot=None):
         return self._step(u, h) if bot is None else self._step(u, h, bot)

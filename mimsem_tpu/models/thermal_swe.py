@@ -98,7 +98,9 @@ class ThermalSWEqn:
     def _step_impl(self, u, h, S):
         u1, h1, S1 = self._update(u, h, S, u, h, S, 0.0, 1.0)
         u2, h2, S2 = self._update(u, h, S, u1, h1, S1, 0.75, 0.25)
-        return self._update(u, h, S, u2, h2, S2, 1.0 / 3.0, 2.0 / 3.0)
+        un, hn, Sn = self._update(u, h, S, u2, h2, S2, 1.0 / 3.0, 2.0 / 3.0)
+        d = self.ops.dtype
+        return un.astype(d), hn.astype(d), Sn.astype(d)
 
     def step(self, u, h, S):
         return self._step(u, h, S)

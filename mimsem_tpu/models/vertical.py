@@ -61,14 +61,16 @@ class VerticalOps:
     levs : (nk+1, nel, nq) interface heights at quad points.
     """
 
-    def __init__(self, ops, levs):
+    def __init__(self, ops, levs, dtype=None):
         self.ops = ops
-        self.B2 = ops.B2              # (nq, n2loc)
-        self.Wq = ops.W               # (nq,)
-        self.det = ops.det            # (nel, nq)
+        self.dtype = dtype or ops.dtype
+        c = lambda a: jnp.asarray(a, self.dtype)
+        self.B2 = c(ops.B2)           # (nq, n2loc)
+        self.Wq = c(ops.W)            # (nq,)
+        self.det = c(ops.det)         # (nel, nq)
         self.nel = ops.nel
         self.n2loc = self.B2.shape[1]
-        self.levs = jnp.asarray(levs, ops.dtype)          # (nk+1, nel, nq)
+        self.levs = jnp.asarray(levs, self.dtype)          # (nk+1, nel, nq)
         self.nk = self.levs.shape[0] - 1
         self.thickq = self.levs[1:] - self.levs[:-1]       # (nk, nel, nq)
 

@@ -118,6 +118,10 @@ class SpaceOps:
         self.t_e01 = i(_inverse_table(e01_dst, self.n0))           # (n0, m)
         self.t_e12 = i(_inverse_table(topo.e21_idx, self.n1))      # (n1, 2)
 
+    def dtype_np(self):
+        import numpy as _np
+        return _np.float32 if self.dtype == jnp.float32 else _np.float64
+
     # default (global-vector) inner products; LocalOps overrides with
     # multiplicity-weighted versions
     def dot0(self, a, b):
@@ -291,19 +295,20 @@ class SpaceOps:
     def proj0(self, f):
         """Project f(lon, lat) onto 0-forms (init0, src/SWEqn_Picard.cpp:842-878)."""
         fq = f(self.lonlat[..., 0], self.lonlat[..., 1])
-        return self.solve_M0(self.rhs_P0(fq))
+        return self.solve_M0(self.rhs_P0(fq)).astype(self.dtype)
 
     def proj1(self, fu, fv, tol=1e-14):
         """Project physical vector field (zonal, meridional components as
         functions of lon/lat) onto 1-forms (init1, src/SWEqn_Picard.cpp:880-932)."""
         fq = jnp.stack([fu(self.lonlat[..., 0], self.lonlat[..., 1]),
                         fv(self.lonlat[..., 0], self.lonlat[..., 1])], axis=-1)
-        return self.solve_M1(self.rhs_P1(fq), tol=tol)
+        return self.solve_M1(self.rhs_P1(fq.astype(self.dtype)),
+                             tol=tol).astype(self.dtype)
 
     def proj2(self, f):
         """Project f(lon, lat) onto 2-forms (init2, src/SWEqn_Picard.cpp:934-979)."""
         fq = f(self.lonlat[..., 0], self.lonlat[..., 1])
-        return self.solve_M2(self.rhs_P2(fq))
+        return self.solve_M2(self.rhs_P2(fq.astype(self.dtype))).astype(self.dtype)
 
     # ------------------------------------------------------------------ incidence
     def e10(self, psi):
@@ -345,8 +350,9 @@ class SpaceOps:
         qy = jnp.asarray(np.repeat(self.basis.qpts, q1), self.dtype)
         X = qx[None, :] - tau * ul[..., 0]
         Y = qy[None, :] - tau * ul[..., 1]
-        lx = lagrange_eval(self.basis.nodes, X)   # (nel, nq, p+1)
-        ly = lagrange_eval(self.basis.nodes, Y)
+        nodes = np.asarray(self.basis.nodes, self.dtype_np())
+        lx = lagrange_eval(nodes, X)   # (nel, nq, p+1)
+        ly = lagrange_eval(nodes, Y)
         np1 = self.p + 1
         jjx = np.arange(np1 * np1) % np1
         jjy = np.arange(np1 * np1) // np1

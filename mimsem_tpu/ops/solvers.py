@@ -69,9 +69,10 @@ def richardson(mv, b, pc, niter=8, x0=None):
     x = pc(b) if x0 is None else x0
 
     def body(x, _):
-        return x + pc(b - mv(x)), None
+        # astype guards against weak-type promotion under jax_enable_x64
+        return (x + pc(b - mv(x))).astype(b.dtype), None
 
-    x, _ = lax.scan(body, x, None, length=niter)
+    x, _ = lax.scan(body, x.astype(b.dtype), None, length=niter)
     return x
 
 

@@ -58,7 +58,8 @@ def h_init(lon, lat, ni: int = 1000):
         u = _u_profile(phi_p)
         f = 2.0 * OMEGA * jnp.sin(phi_p)
         h = h - RAD_SPHERE * u * (f + jnp.tan(phi_p) * u / RAD_SPHERE) * dphi / GRAV
-        return (h, phi_p)
+        # keep the carry dtype stable under jax_enable_x64 (weak-type promotion)
+        return (h.astype(lat.dtype), phi_p.astype(lat.dtype))
 
     h, _ = jax.lax.fori_loop(0, ni, body, (jnp.full_like(lat, HBAR),
                                            jnp.zeros_like(lat)))
