@@ -43,7 +43,7 @@ class Euler3D:
     def __init__(self, ops, vo: VerticalOps, dt: float, coriolis=None,
                  do_visc: bool = False, rayleigh: float = 0.0,
                  newton_iters: int = 4, hs_forcing: bool = False,
-                 f64_resid: bool = None):
+                 f64_resid: bool = None, theta_upwind: bool = True):
         self.ops = ops
         self.vo = vo
         # f32 runs: assemble the vertical residuals in f64 to avoid the
@@ -66,6 +66,9 @@ class Euler3D:
         self.rayleigh = rayleigh
         self.newton_iters = newton_iters
         self.hs_forcing = hs_forcing
+        # upwinded vertical basis in the theta diagnosis with tau = 0.25 dt
+        # (the reference's active diagTheta2 path, box/VertSolve.cpp:580-585)
+        self.theta_tau = 0.25 * dt if theta_upwind else 0.0
         self.mass_tol = 1e-13 if ops.dtype == jnp.float64 else 1e-6
         self.f0 = ops.proj0(coriolis) if coriolis is not None else None
         self.zv = vo.zv_gz()                     # (nk, nel, n2loc)
@@ -298,7 +301,10 @@ class Euler3D:
 
         def newton(state, _):
             w_j, rho_j, rt_j, pi_j = state
-            theta_h = vo.diag_theta(0.5 * (rho_i + rho_j), 0.5 * (rt_i + rt_j))
+            wh_ = 0.5 * (w_i + w_j)
+            theta_h = vo.diag_theta(0.5 * (rho_i + rho_j), 0.5 * (rt_i + rt_j),
+                                    w=wh_ if self.theta_tau else None,
+                                    tau=self.theta_tau)
             pi_h = 0.5 * (pi_i + pi_j)
             rho_h = 0.5 * (rho_i + rho_j)
             rt_h = 0.5 * (rt_i + rt_j)
@@ -488,7 +494,8 @@ class Euler3D:
     # ================================================================ step
     def _step_impl(self, velx, w, rho, rt, exner, velx_prev, first):
         vo, dt, nk = self.vo, self.dt, self.nk
-        theta_i = vo.diag_theta(rho, rt)
+        theta_i = vo.diag_theta(rho, rt, w=w if self.theta_tau else None,
+                                tau=self.theta_tau)
 
         # --- 1. explicit horizontal predictor (leapfrog 2dt after first step)
         uz1 = self.dudz(velx)
@@ -507,14 +514,17 @@ class Euler3D:
         # --- 2. implicit vertical solve
         uuz = self.uuz_term(velx, uz1)
         def dFx_fn(rho_j):
-            theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt)
+            theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt,
+                                    w=w if self.theta_tau else None,
+                                    tau=self.theta_tau)
             return self.advection_rhs(velx, velx_1, rho, rho_j, theta_h)
         w_j, rho_j, rt_j, pi_j = self.vert_solve(
             w, rho, rt, exner, dFx_fn, uuz,
             rt_forcing_fn=self.hs_temp_forcing if self.hs_forcing else None)
 
         # --- 3. explicit horizontal corrector (dt, midpoint fields)
-        theta_j = vo.diag_theta(rho_j, rt_j)
+        theta_j = vo.diag_theta(rho_j, rt_j, w=w_j if self.theta_tau else None,
+                                tau=self.theta_tau)
         theta_h = 0.5 * (theta_i + theta_j)
         pi_h = 0.5 * (exner + pi_j)
         uz2 = self.dudz(velx_1)

@@ -176,13 +176,34 @@ class VerticalOps:
         return self.proj(0.5 * wq * s)
 
     # ------------------------------------------------------------- diagnostics
-    def diag_theta(self, rho, rt):
+    def diag_theta(self, rho, rt, w=None, tau=0.0):
         """theta on all nk+1 interfaces: VA2(rho)^-1 AB2 rt
-        (VertSolve::diagTheta2, centred variant; box/VertSolve.cpp:499-533)."""
-        rhs = self.lincon2(rt)
-        t = 0.5 * self.thickq * self.phys_layer(rho) / self.det   # (nk,...)
-        z = jnp.zeros_like(t[:1])
-        chi = jnp.concatenate([t, z], 0) + jnp.concatenate([z, t], 0)  # (nk+1,...)
+        (VertSolve::diagTheta2, box/VertSolve.cpp:499-533).
+
+        With w/tau the vertical linear basis is evaluated at the departure
+        point z - tau*w (AssembleLinCon_up / AssembleLinearWithRho_up, the
+        reference's active path with tau = 0.25*dt): the per-layer hat-function
+        weights 1/2 become 1/2 +- tau w / thick for the bottom/top interfaces.
+        """
+        if w is None:
+            sb = st = 0.5
+        else:
+            wq = self.phys_int(w)                      # (nk-1, nel, nq)
+            z1 = jnp.zeros_like(wq[:1])
+            wl = 0.5 * (jnp.concatenate([z1, wq], 0)
+                        + jnp.concatenate([wq, z1], 0))  # layer-avg w (nk,...)
+            shift = jnp.clip(tau * wl / self.thickq, -0.5, 0.5)
+            sb = 0.5 + shift
+            st = 0.5 - shift
+        # rhs: layer k feeds bottom interface with weight sb, top with st
+        yb = self.apply_w(sb / self.det, rt)
+        yt = self.apply_w(st / self.det, rt)
+        z = jnp.zeros_like(yb[:1])
+        rhs = jnp.concatenate([yb, z], 0) + jnp.concatenate([z, yt], 0)
+        tb = sb * self.thickq * self.phys_layer(rho) / self.det
+        tt = st * self.thickq * self.phys_layer(rho) / self.det
+        zc = jnp.zeros_like(tb[:1])
+        chi = jnp.concatenate([tb, zc], 0) + jnp.concatenate([zc, tt], 0)
         blocks = inv_small(self.wblk(chi))
         return jnp.einsum('lnij,lnj->lni', blocks, rhs)
 
