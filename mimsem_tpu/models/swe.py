@@ -54,7 +54,8 @@ class SWEqn:
                  grav: float = EARTH_GRAV, omega: float = EARTH_OMEGA,
                  hmean: float = 1.0e4, alpha: float = 0.5, up_tau: float = 0.5,
                  coriolis=None, nits: int = 2, gmres_tol: float = None,
-                 gmres_restart: int = None, gmres_maxiter: int = None):
+                 gmres_restart: int = None, gmres_maxiter: int = None,
+                 q_exact: bool = False):
         self.ops = ops
         self.dt = dt
         self.grav = grav
@@ -63,6 +64,11 @@ class SWEqn:
         self.alpha = alpha
         self.up_tau = up_tau
         self.nits = nits
+        # q_exact: midpoint-state PV with the centred rotation operator (the
+        # reference's q_exact residual branch, src/SWEqn_Picard.cpp:438-471,
+        # used by Williamson 2/5); otherwise the upwinded-PV two-state form
+        # (src/SWEqn_Picard.cpp:566-581, used by Galewsky).
+        self.q_exact = q_exact
         f64 = ops.dtype == jnp.float64
         if gmres_tol is None:
             gmres_tol = 1e-12 if f64 else 2e-6
@@ -146,9 +152,15 @@ class SWEqn:
         F = self.diagnose_F(ui, hi, uj, hj)
         Phi = self.diagnose_Phi(ui, hi, uj, hj, bot)
         fu = ops.e12(Phi)
-        qi, Pi = self.diagnose_q(ui, hi, upwind=True)
-        qj, Pj = self.diagnose_q(uj, hj, upwind=True)
-        fu = fu + 0.5 * ops.apply_R_up(qi, F, Pi) + 0.5 * ops.apply_R_up(qj, F, Pj)
+        if self.q_exact:
+            qm, _ = self.diagnose_q(0.5 * (ui + uj), 0.5 * (hi + hj),
+                                    upwind=False)
+            fu = fu + ops.apply_R(qm, F)
+        else:
+            qi, Pi = self.diagnose_q(ui, hi, upwind=True)
+            qj, Pj = self.diagnose_q(uj, hj, upwind=True)
+            fu = fu + 0.5 * ops.apply_R_up(qi, F, Pi) \
+                    + 0.5 * ops.apply_R_up(qj, F, Pj)
         fh = ops.apply_M2(ops.e21(F))
         ru = ops.apply_M1(uj) - ops.apply_M1(ui) + dt * fu
         rh = ops.apply_M2(hj) - ops.apply_M2(hi) + dt * fh

@@ -53,6 +53,8 @@ def build(ne: int, p: int = 3, dt: float = 600.0, dtype=None, el_sharding=None,
     basis = make_basis(p)
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
+    kw.setdefault('q_exact', True)
+    kw.setdefault('nits', 4)
     sw = SWEqn(ops, dt=dt, grav=GRAV, omega=OMEGA, **kw)
     tol = 1e-13 if dtype == jnp.float64 else 1e-6
     u = ops.proj1(u_init, v_init, tol=tol)
