@@ -1,0 +1,76 @@
+"""Self-contained multi-chip dry run on an n-device CPU mesh.
+
+Run as `python -m mimsem_tpu.parallel.dryrun N` in a process whose
+environment forces the CPU backend (JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=N, and PALLAS_AXON_POOL_IPS
+unset so the axon sitecustomize hook cannot register the tunneled TPU).
+`__graft_entry__.dryrun_multichip` spawns exactly that subprocess.
+
+Validates the full SW training step (Picard residual + coupled GMRES solve)
+jitted over a real jax.sharding.Mesh — the horizontal domain decomposition
+that is the reference's only distributed axis (SURVEY.md section 2.6,
+scr/Setup.py:25-29) — and asserts the sharded result matches the
+single-device result, the TPU-native analogue of the reference's
+"mpirun -np 6 on one box" check.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _require_cpu_mesh(n_devices: int):
+    import jax
+    plats = {d.platform for d in jax.devices()}
+    if plats != {"cpu"}:
+        raise RuntimeError(f"dryrun must run on CPU devices, got {plats}")
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} "
+            "(XLA_FLAGS=--xla_force_host_platform_device_count not applied?)")
+
+
+def run(n_devices: int) -> None:
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    _require_cpu_mesh(n_devices)
+
+    from mimsem_tpu.parallel.sharding import make_mesh, element_sharding
+    from mimsem_tpu.testcases import williamson2 as w2
+
+    # --- single-device reference result ---------------------------------
+    sw0, u0, h0 = w2.build(ne=2, p=3, dt=600.0, dtype=jnp.float64,
+                           gmres_restart=20, gmres_maxiter=2)
+    u_ref, h_ref = jax.jit(sw0._step_impl)(u0, h0)
+    u_ref, h_ref = np.asarray(u_ref), np.asarray(h_ref)
+
+    # --- sharded over the n-device mesh ----------------------------------
+    mesh = make_mesh(n_devices)
+    el_sh = element_sharding(mesh)
+    sw, u, h = w2.build(ne=2, p=3, dt=600.0, dtype=jnp.float64,
+                        el_sharding=el_sh, gmres_restart=20, gmres_maxiter=2)
+    step = jax.jit(sw._step_impl)
+    u1, h1 = step(u, h)
+    jax.block_until_ready((u1, h1))
+
+    # equivalence (not just isfinite): sharded == single-device to
+    # reduction-reordering tolerance in f64
+    du = np.linalg.norm(np.asarray(u1) - u_ref) / np.linalg.norm(u_ref)
+    dh = np.linalg.norm(np.asarray(h1) - h_ref) / np.linalg.norm(h_ref)
+    assert du < 1e-10, f"sharded u differs from single-device: rel={du:.3e}"
+    assert dh < 1e-10, f"sharded h differs from single-device: rel={dh:.3e}"
+
+    # multi-step scan (the production training loop) compiles + executes
+    u3, h3 = jax.jit(lambda a, b: sw.run_steps(a, b, 3))(u, h)
+    jax.block_until_ready((u3, h3))
+    assert np.isfinite(np.asarray(u3)).all() and np.isfinite(np.asarray(h3)).all()
+
+    print(f"dryrun_multichip OK: {n_devices} devices, "
+          f"sharded-vs-single rel err u={du:.2e} h={dh:.2e}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
