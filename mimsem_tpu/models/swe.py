@@ -15,6 +15,26 @@ Matrix-free TPU re-design of the reference SWEqn (src/SWEqn_Picard.{h,cpp}):
     solved by GMRES with a per-element block preconditioner (the TPU analogue
     of PCBJACOBI with one block per element, :87-95).
 
+Mixed-precision design (replaces the reference's f64-everywhere with a
+TPU-native f32 scheme of equivalent drift quality):
+
+  * The depth state is the PERTURBATION hp = h - h_base about a constant
+    reference depth projected in f64 at setup.  2-form DOF coefficients carry
+    the metric factor det ~ R^2 (~1e16 in SI units on the full sphere), so a
+    full-depth f32 state quantizes h at ~1e-3 m and, worse, the discrete
+    pressure gradient E12(g M2 h) suffers eps * g * H cancellation noise.
+    The balanced part E12(g M2 (h_base + b)) is precomputed in f64 host-side
+    (`fu_base`; identically zero for constant h_base in exact arithmetic) and
+    only the perturbation gradient is formed in f32.
+  * The Picard update is tracked incrementally (duj = uj - ui), so the
+    residual mass terms are M1 duj / M2 dhj rather than the f32-catastrophic
+    difference M1 uj - M1 ui.
+  * Time accumulation u += du uses Kahan compensated summation
+    (`step_kahan`), the standard master-weights trick: the f32 state plus an
+    f32 error-carry gives ~f64-quality long-run accumulation at pure-f32
+    speed.  Conservation is then measured in f64 on host (ops/host_ops.py)
+    from the compensated state.
+
 Constants follow the reference: alpha = ROS_ALPHA = 0.5, H_MEAN = 1e4,
 UP_TAU = 0.5 (src/SWEqn_Picard.cpp:27-30).
 """
@@ -25,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.forms import SpaceOps
+from ..ops.host_ops import HostOps
 from ..ops import solvers
 from ..utils import diagnostics as dg
 
@@ -49,13 +70,25 @@ def _local_e21(p: int) -> np.ndarray:
     return E
 
 
+def kahan_add(x, c, dx):
+    """One compensated-summation update: returns (x', c') with x' ~ x + dx and
+    c' the running rounding error (true value ~ x' - c')."""
+    y = dx - c
+    t = x + y
+    c2 = (t - x) - y
+    return t, c2
+
+
 class SWEqn:
+    """State = (u, hp): 1-form velocity and 2-form depth PERTURBATION about
+    the f64 reference depth `h_base` (see module docstring)."""
+
     def __init__(self, ops: SpaceOps, dt: float,
                  grav: float = EARTH_GRAV, omega: float = EARTH_OMEGA,
                  hmean: float = 1.0e4, alpha: float = 0.5, up_tau: float = 0.5,
                  coriolis=None, nits: int = 2, gmres_tol: float = None,
                  gmres_restart: int = None, gmres_maxiter: int = None,
-                 q_exact: bool = False):
+                 q_exact: bool = False, h_base=None, bot_fn=None):
         self.ops = ops
         self.dt = dt
         self.grav = grav
@@ -89,6 +122,22 @@ class SWEqn:
             coriolis = lambda lon, lat: 2.0 * omega * jnp.sin(lat)
         self.f0 = ops.proj0(coriolis)
 
+        put = (lambda a: a) if ops.el_sharding is None else \
+            (lambda a: jax.device_put(a, ops.el_sharding))
+
+        # ---- f64 reference state + balanced forcing (host-side) ----
+        self.host = HostOps(ops)
+        self.h_base_g = self.host.proj2(hmean if h_base is None else h_base)
+        self.bot_g = None if bot_fn is None else self.host.proj2(bot_fn)
+        tot = self.h_base_g if self.bot_g is None else self.h_base_g + self.bot_g
+        fu_b = self.host.e12(grav * self.host.apply_M2(tot))
+        self.fu_base = put(jnp.asarray(self.host.to_local1(fu_b), ops.dtype))
+        self.hbase_q = put(jnp.asarray(self.host.interp2_phys(self.h_base_g),
+                                       ops.dtype))
+        self.h_base2 = jnp.asarray(self.h_base_g, ops.dtype)   # device full-h add
+        self.bot2 = None if self.bot_g is None else jnp.asarray(self.bot_g,
+                                                                ops.dtype)
+
         # ---- per-element Helmholtz preconditioner blocks (host-side numpy) ----
         basis, geom, p = ops.basis, ops.geom, ops.p
         M1blk = ops._m1_blocks_np(geom.G1, basis)
@@ -104,42 +153,55 @@ class SWEqn:
         GD = np.einsum('ki,ekl,lj->eij', E21l, M2blk, E21l)
         a = alpha * dt
         Helm = M1blk + a * Rblk + a * a * grav * hmean * GD
-        self.HelmInv = jnp.asarray(np.linalg.inv(Helm), ops.dtype)
-        if ops.el_sharding is not None:
-            self.HelmInv = jax.device_put(self.HelmInv, ops.el_sharding)
+        self.HelmInv = put(jnp.asarray(np.linalg.inv(Helm), ops.dtype))
 
         self._step = jax.jit(self._step_impl)
+        self._step_k = jax.jit(self.step_kahan)
+
+    # ------------------------------------------------------------------ state helpers
+    def h_full(self, hp):
+        """Full depth h = h_base + hp (device, for output/diagnostics)."""
+        return (self.h_base2 + hp).astype(self.ops.dtype)
+
+    def to_pert(self, h):
+        """Full depth -> perturbation (f64 host subtraction)."""
+        return jnp.asarray(np.asarray(h, np.float64) - self.h_base_g,
+                           self.ops.dtype)
+
+    def _hq(self, hp):
+        """Physical full depth at quadrature points (nel, nq)."""
+        return self.hbase_q + self.ops.interp2_phys(hp)
 
     # ------------------------------------------------------------------ diagnostics
-    def diagnose_F(self, ui, hi, uj, hj):
+    def diagnose_F(self, ui, uj, hqi, hqj):
         """F = M1^-1 [1/3 Uh(hi)ui + 1/6 Uh(hi)uj + 1/6 Uh(hj)ui + 1/3 Uh(hj)uj]
-        (src/SWEqn_Picard.cpp:253-284)."""
+        (src/SWEqn_Picard.cpp:253-284); depth enters as quad-point weights."""
         ops = self.ops
-        b = (ops.apply_M1(ui, hi) / 3.0 + ops.apply_M1(uj, hi) / 6.0
-             + ops.apply_M1(ui, hj) / 6.0 + ops.apply_M1(uj, hj) / 3.0)
+        b = (ops.apply_M1(ui, weight_q=hqi) / 3.0
+             + ops.apply_M1(uj, weight_q=hqi) / 6.0
+             + ops.apply_M1(ui, weight_q=hqj) / 6.0
+             + ops.apply_M1(uj, weight_q=hqj) / 3.0)
         return ops.solve_M1(b, tol=self.mass_tol)
 
-    def diagnose_Phi(self, ui, hi, uj, hj, bot=None):
-        """Phi = 1/3[K(ui)ui + K(ui)uj + K(uj)uj] + (g/2) M2 (hi+hj) [+ g M2 b]
-        (src/SWEqn_Picard.cpp:289-318, 430-433)."""
+    def diagnose_Phi_pert(self, ui, uj, hpi, hpj):
+        """Perturbation Bernoulli function: K terms + (g/2) M2 (hp_i + hp_j)
+        (src/SWEqn_Picard.cpp:289-318).  The balanced part g M2 (h_base + b)
+        lives in the precomputed f64 `fu_base` forcing instead."""
         ops = self.ops
         phi = (ops.apply_K(ui, ui) + ops.apply_K(ui, uj) + ops.apply_K(uj, uj)) / 3.0
-        phi = phi + 0.5 * self.grav * ops.apply_M2(hi + hj)
-        if bot is not None:
-            phi = phi + self.grav * ops.apply_M2(bot)
-        return phi
+        return phi + 0.5 * self.grav * ops.apply_M2(hpi + hpj)
 
-    def diagnose_q(self, u, h, upwind: bool):
+    def diagnose_q(self, u, hq, upwind: bool):
         """PV q = M0h(_up)^-1 (M0 f + E01 M1 u) (src/SWEqn_Picard.cpp:320-339).
-        Returns (q, P_up) with P_up reused by the rotational operator."""
+        hq = physical depth at quad points.  Returns (q, P_up)."""
         ops = self.ops
         rhs = ops.apply_M0(self.f0) + ops.e01(ops.apply_M1(u))
         if upwind:
             P_up = ops.p0_up(u, self.up_tau * self.dt)
-            q = ops.solve_M0h_up(rhs, h, P_up, tol=self.mass_tol)
+            q = ops.solve_M0h_up(rhs, hq, P_up, tol=self.mass_tol)
         else:
             P_up = None
-            q = rhs / ops.m0_lumped(ops.interp2_phys(h))
+            q = rhs / ops.m0_lumped(hq)
         return q, P_up
 
     def curl(self, u):
@@ -147,23 +209,29 @@ class SWEqn:
         return ops.solve_M0(ops.e01(ops.apply_M1(u)))
 
     # ------------------------------------------------------------------ residual
-    def residual(self, ui, hi, uj, hj, bot=None):
+    def residual(self, ui, hpi, duj, dhj):
+        """Picard residual in INCREMENT form: (ru, rh) with uj = ui + duj,
+        hpj = hpi + dhj.  Mathematically identical to the reference residual
+        (src/SWEqn_Picard.cpp:402-621); the mass terms M1 duj / M2 dhj replace
+        the f32-catastrophic M1 uj - M1 ui difference."""
         ops, dt = self.ops, self.dt
-        F = self.diagnose_F(ui, hi, uj, hj)
-        Phi = self.diagnose_Phi(ui, hi, uj, hj, bot)
-        fu = ops.e12(Phi)
+        uj = ui + duj
+        hpj = hpi + dhj
+        hqi, hqj = self._hq(hpi), self._hq(hpj)
+        F = self.diagnose_F(ui, uj, hqi, hqj)
+        fu = ops.e12(self.diagnose_Phi_pert(ui, uj, hpi, hpj)) + self.fu_base
         if self.q_exact:
-            qm, _ = self.diagnose_q(0.5 * (ui + uj), 0.5 * (hi + hj),
+            qm, _ = self.diagnose_q(ui + 0.5 * duj, 0.5 * (hqi + hqj),
                                     upwind=False)
             fu = fu + ops.apply_R(qm, F)
         else:
-            qi, Pi = self.diagnose_q(ui, hi, upwind=True)
-            qj, Pj = self.diagnose_q(uj, hj, upwind=True)
+            qi, Pi = self.diagnose_q(ui, hqi, upwind=True)
+            qj, Pj = self.diagnose_q(uj, hqj, upwind=True)
             fu = fu + 0.5 * ops.apply_R_up(qi, F, Pi) \
                     + 0.5 * ops.apply_R_up(qj, F, Pj)
         fh = ops.apply_M2(ops.e21(F))
-        ru = ops.apply_M1(uj) - ops.apply_M1(ui) + dt * fu
-        rh = ops.apply_M2(hj) - ops.apply_M2(hi) + dt * fh
+        ru = ops.apply_M1(duj) + dt * fu
+        rh = ops.apply_M2(dhj) + dt * fh
         return ru, rh
 
     # ------------------------------------------------------------------ linear solve
@@ -190,36 +258,64 @@ class SWEqn:
         return du, dh
 
     # ------------------------------------------------------------------ step
-    def _step_impl(self, u, h, bot=None):
-        ui, hi = u, h
-        uj, hj = u, h
+    def increments(self, u, hp):
+        """Total Picard update (du, dh) for one time step."""
+        duj = jnp.zeros_like(u)
+        dhj = jnp.zeros_like(hp)
         for _ in range(self.nits):
-            ru, rh = self.residual(ui, hi, uj, hj, bot)
+            ru, rh = self.residual(u, hp, duj, dhj)
             du, dh = self.solve_coupled(-ru, -rh)
-            uj = uj + du
-            hj = hj + dh
+            duj = duj + du
+            dhj = dhj + dh
         # pin the working dtype (guards weak-type promotion under x64)
-        return uj.astype(self.ops.dtype), hj.astype(self.ops.dtype)
+        return duj.astype(self.ops.dtype), dhj.astype(self.ops.dtype)
 
-    def step(self, u, h, bot=None):
-        return self._step(u, h) if bot is None else self._step(u, h, bot)
+    def _step_impl(self, u, hp):
+        du, dh = self.increments(u, hp)
+        return u + du, hp + dh
 
-    def run_steps(self, u, h, nsteps: int):
-        """nsteps time steps in a single on-device lax.scan (one dispatch)."""
+    def step(self, u, hp):
+        return self._step(u, hp)
+
+    def step_kahan(self, u, hp, cu, ch):
+        """One step with compensated state accumulation (cu, ch carries)."""
+        du, dh = self.increments(u, hp)
+        u, cu = kahan_add(u, cu, du)
+        hp, ch = kahan_add(hp, ch, dh)
+        return u, hp, cu, ch
+
+    def run_steps(self, u, hp, nsteps: int):
+        """nsteps time steps in a single on-device lax.scan (one dispatch);
+        Kahan-compensated accumulation internally."""
         def body(carry, _):
-            u, h = carry
-            return self._step_impl(u, h), None
-        (u, h), _ = jax.lax.scan(body, (u, h), None, length=nsteps)
-        return u, h
+            return self.step_kahan(*carry), None
+        z = jnp.zeros_like(u), jnp.zeros_like(hp)
+        (u, hp, _, _), _ = jax.lax.scan(body, (u, hp) + z, None, length=nsteps)
+        return u, hp
 
     # ------------------------------------------------------------------ conservation
-    def conservation(self, u, h, bot=None):
-        """mass, vorticity, energy, enstrophy (src/SWEqn_Picard.cpp:1325-1359)."""
+    def conservation(self, u, hp):
+        """mass, vorticity, energy, enstrophy (src/SWEqn_Picard.cpp:1325-1359),
+        computed on device at working precision (tests); production drift
+        monitoring uses conservation_f64."""
         ops = self.ops
+        h = self.h_full(hp)
         w = self.curl(u)
-        q, _ = self.diagnose_q(u, h, upwind=False)
+        q, _ = self.diagnose_q(u, self._hq(hp), upwind=False)
         enst = ops.dot0(q, ops.apply_M0(q, ops.interp2_phys(h)))
         mass = dg.int2(ops, h)
         vort = dg.int0(ops, w)
-        ener = dg.intE_sw(ops, u, h, self.grav, bot)
+        ener = dg.intE_sw(ops, u, h, self.grav, self.bot2)
         return dict(mass=mass, vort=vort, ener=ener, enst=enst)
+
+    def conservation_f64(self, u, hp, cu=None, ch=None):
+        """Host-side f64 conservation of the (compensated) state."""
+        un = np.asarray(u, np.float64)
+        hn = np.asarray(hp, np.float64)
+        if cu is not None:
+            un = un - np.asarray(cu, np.float64)
+        if ch is not None:
+            hn = hn - np.asarray(ch, np.float64)
+        return self.host.sw_conservation(un, hn, self.h_base_g,
+                                         np.asarray(self.f0, np.float64),
+                                         self.grav, self.bot_g)

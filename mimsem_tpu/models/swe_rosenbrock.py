@@ -50,15 +50,18 @@ class SWEqnRosenbrock(SWEqn):
         kw.setdefault('alpha', GAMMA_0)
         super().__init__(ops, dt, **kw)
 
-    def rhs_single(self, u, h):
+    def rhs_single(self, u, hp):
         """f = -dt [E12 Phi + R_apvm(q) F; M2 E21 F] at a single state
-        (src/SWEqn_Rosenbrock.cpp:513-583)."""
+        (src/SWEqn_Rosenbrock.cpp:513-583).  hp = depth perturbation; the
+        balanced pressure gradient rides the f64-precomputed fu_base."""
         ops, dt = self.ops, self.dt
-        F = ops.solve_M1(ops.apply_M1(u, h), tol=self.mass_tol)
-        Phi = ops.apply_K(u, u) + self.grav * ops.apply_M2(h)
-        q, _ = self.diagnose_q(u, h, upwind=False)
+        hq = self._hq(hp)
+        F = ops.solve_M1(ops.apply_M1(u, weight_q=hq), tol=self.mass_tol)
+        Phi = ops.apply_K(u, u) + self.grav * ops.apply_M2(hp)
+        q, _ = self.diagnose_q(u, hq, upwind=False)
         dq = ops.e10(q)
-        fu = ops.e12(Phi) + ops.apply_R_apvm(q, u, dq, self.up_tau * dt, F)
+        fu = (ops.e12(Phi) + self.fu_base
+              + ops.apply_R_apvm(q, u, dq, self.up_tau * dt, F))
         fh = ops.apply_M2(ops.e21(F))
         return -dt * fu, -dt * fh
 
@@ -70,10 +73,10 @@ class SWEqnRosenbrock(SWEqn):
         bh = g * self.hmean * ops.apply_M2(ops.e21(du))
         return bu, bh
 
-    def _step_impl(self, u, h, bot=None):
+    def increments(self, u, hp):
         ku = [None] * 4
         kh = [None] * 4
-        uj, hj = u, h
+        uj, hj = u, hp
         for i in range(4):
             fu, fh = self.rhs_single(uj, hj)
             for j in range(i):
@@ -82,8 +85,7 @@ class SWEqnRosenbrock(SWEqn):
                 fu = fu - c * bu
                 fh = fh - c * bh
             ku[i], kh[i] = self.solve_coupled(fu, fh)
-            uj, hj = u, h
-            for j in range(i + 1):
-                uj = uj + ALPHA[i, j] * ku[j]
-                hj = hj + ALPHA[i, j] * kh[j]
-        return uj, hj
+            du = sum(ALPHA[i, j] * ku[j] for j in range(i + 1))
+            dh = sum(ALPHA[i, j] * kh[j] for j in range(i + 1))
+            uj, hj = u + du, hp + dh
+        return (du.astype(self.ops.dtype), dh.astype(self.ops.dtype))

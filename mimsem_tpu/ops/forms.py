@@ -216,12 +216,15 @@ class SpaceOps:
         bot = np.concatenate([Ayx, Ayy], axis=2)
         return np.concatenate([top, bot], axis=1)
 
-    def apply_M1(self, u1, h2=None):
-        """1-form mass (Umat); with h2 the field-weighted Uhmat
+    def apply_M1(self, u1, h2=None, weight_q=None):
+        """1-form mass (Umat); with h2 (a 2-form) or weight_q (physical values
+        at quad points, (nel, nq)) the field-weighted Uhmat
         (src/Assembly.cpp:30-124, 675-734): G = w J^T J h_phys / det."""
         G = self.G1
         if h2 is not None:
             G = G * self.interp2_phys(h2)[..., None, None]
+        if weight_q is not None:
+            G = G * weight_q[..., None, None]
         return self.scatter1(self._apply_G(self.gather1(u1), G))
 
     def apply_R(self, q0, u1):
@@ -362,14 +365,15 @@ class SpaceOps:
         """0-form values at departure points given the P_up tensor."""
         return jnp.einsum('eqj,ej->eq', P_up, self.gather0(q0))
 
-    def apply_M0h_up(self, v0, h2, P_up):
+    def apply_M0h_up(self, v0, hq, P_up):
         """Upwinded-test-function weighted 0-form mass (Phmat::assemble_up,
-        src/Assembly.cpp:499-567): P_up^T diag(w h_loc) P.  Nonsymmetric."""
-        hq = self.interp2_ref(h2)        # dets cancel (src/Assembly.cpp:543-545)
-        vq = self.interp0(v0) * self.W * hq
+        src/Assembly.cpp:499-567): P_up^T diag(w h_loc) P.  Nonsymmetric.
+        hq = physical depth at quad points; dets re-enter via hq*det
+        (src/Assembly.cpp:543-545)."""
+        vq = self.interp0(v0) * self.W * (hq * self.det)
         return self.scatter0(jnp.einsum('eq,eqj->ej', vq, P_up))
 
-    def solve_M0h_up(self, b0, h2, P_up, tol=1e-13, niter=10):
+    def solve_M0h_up(self, b0, hq, P_up, tol=1e-13, niter=10):
         """Solve the nonsymmetric upwinded PV mass matrix system.
 
         The departure-point offsets are O(CFL) perturbations of the diagonal
@@ -377,8 +381,8 @@ class SpaceOps:
         geometrically (the reference uses GMRES+BJACOBI on the same system;
         here the fixed-depth iteration compiles to a tight TPU loop)."""
         from . import solvers
-        d = self.m0_lumped(self.interp2_phys(h2))
-        mv = lambda x: self.apply_M0h_up(x, h2, P_up)
+        d = self.m0_lumped(hq)
+        mv = lambda x: self.apply_M0h_up(x, hq, P_up)
         return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
 
     def apply_R_up(self, q0, u1, P_up):

@@ -400,10 +400,10 @@ class LocalOps(SpaceOps):
         return solvers.cg(self.apply_M1, b1, pc=self.pc_M1, tol=tol,
                           maxiter=maxiter, dot=self.dot1)
 
-    def solve_M0h_up(self, b0, h2, P_up, tol=1e-13, niter=10):
+    def solve_M0h_up(self, b0, hq, P_up, tol=1e-13, niter=10):
         from . import solvers
-        d = self.m0_lumped(self.interp2_phys(h2))
-        mv = lambda x: self.apply_M0h_up(x, h2, P_up)
+        d = self.m0_lumped(hq)
+        mv = lambda x: self.apply_M0h_up(x, hq, P_up)
         return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
 
     def solve_M2(self, b2, h2=None, tol=1e-14):

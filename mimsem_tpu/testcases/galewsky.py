@@ -78,7 +78,8 @@ def build(ne: int, p: int = 3, dt: float = 360.0, dtype=None, el_sharding=None, 
     basis = make_basis(p)
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
+    kw.setdefault('h_base', HBAR)
     sw = SWEqn(ops, dt=dt, grav=GRAV, omega=OMEGA, **kw)
     u = ops.proj1(u_init, v_init, tol=1e-13 if dtype == _jnp.float64 else 1e-6)
-    h = ops.proj2(h_init)
-    return sw, u, h
+    hp = ops.proj2(lambda lon, lat: h_init(lon, lat) - HBAR)
+    return sw, u, hp

@@ -61,13 +61,14 @@ def build(ne: int, p: int = 3, dt: float = 600.0, dtype=None, el_sharding=None, 
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
     kw.setdefault('q_exact', True)
     kw.setdefault('nits', 4)
+    kw.setdefault('h_base', H0)
     sw = SWEqn(ops, dt=dt, grav=GRAV, omega=OMEGA, coriolis=coriolis, **kw)
     u = ops.proj1(u_init, v_init, tol=1e-13 if dtype == _jnp.float64 else 1e-6)
-    h = ops.proj2(h_init)
-    return sw, u, h
+    hp = ops.proj2(lambda lon, lat: h_init(lon, lat) - H0)
+    return sw, u, hp
 
 
-def error_norms(sw: SWEqn, u, h):
+def error_norms(sw: SWEqn, u, hp):
     """Relative L1/L2/Linf of (w, u, h) vs the steady solution
     (src/Williamson2.cpp:139-151)."""
     ops = sw.ops
@@ -76,5 +77,6 @@ def error_norms(sw: SWEqn, u, h):
     return dict(
         w=dg.err0(ops, w, w_init),
         u=dg.err1(ops, u, u_init, v_init),
-        h=dg.err2(ops, h, h_init, lat_cap=0.45 * jnp.pi),
+        h=dg.err2(ops, hp, lambda lon, lat: h_init(lon, lat) - H0,
+                  lat_cap=0.45 * jnp.pi, mag=h_init),
     )

@@ -55,9 +55,9 @@ def build(ne: int, p: int = 3, dt: float = 600.0, dtype=None, el_sharding=None,
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
     kw.setdefault('q_exact', True)
     kw.setdefault('nits', 4)
-    sw = SWEqn(ops, dt=dt, grav=GRAV, omega=OMEGA, **kw)
+    kw.setdefault('h_base', H0)
+    sw = SWEqn(ops, dt=dt, grav=GRAV, omega=OMEGA, bot_fn=b_init, **kw)
     tol = 1e-13 if dtype == jnp.float64 else 1e-6
     u = ops.proj1(u_init, v_init, tol=tol)
-    h = ops.proj2(h_init)
-    bot = ops.proj2(b_init)
-    return sw, u, h, bot
+    hp = ops.proj2(lambda lon, lat: h_init(lon, lat) - H0)
+    return sw, u, hp

@@ -47,15 +47,17 @@ def err1(ops: SpaceOps, u1, fu, fv):
     return jnp.stack([l1, l2, li])
 
 
-def err2(ops: SpaceOps, u2, fana, lat_cap=None):
+def err2(ops: SpaceOps, u2, fana, lat_cap=None, mag=None):
     """lat_cap (e.g. 0.45*pi) masks polar caps like the reference's Williamson2
-    h-error (src/SWEqn_Picard.cpp:1167)."""
+    h-error (src/SWEqn_Picard.cpp:1167).  mag: optional separate field for the
+    normalizing magnitude (e.g. the full depth when u2 is a perturbation)."""
     wd = _wd(ops)
     if lat_cap is not None:
         wd = wd * (jnp.abs(ops.lonlat[..., 1]) <= lat_cap)
     un = ops.interp2_phys(u2)
     ua = fana(ops.lonlat[..., 0], ops.lonlat[..., 1])
-    return _norms(un - ua, ua, wd)
+    ma = ua if mag is None else mag(ops.lonlat[..., 0], ops.lonlat[..., 1])
+    return _norms(un - ua, ma, wd)
 
 
 def int0(ops: SpaceOps, u0):

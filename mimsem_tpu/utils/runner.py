@@ -16,17 +16,24 @@ from . import io as mio
 from . import diagnostics as dg
 
 
-def run_sw(sw, u, h, nsteps, dump_every, outdir="output", bot=None,
-           start_step=0, error_norms=None, verbose=True):
+def run_sw(sw, u, hp, nsteps, dump_every, outdir="output",
+           start_step=0, error_norms=None, verbose=True, cu=None, ch=None):
     """Semi-implicit SW time loop with conservation monitoring
-    (src/Galewsky.cpp:147-158, src/Williamson2.cpp:130-152)."""
+    (src/Galewsky.cpp:147-158, src/Williamson2.cpp:130-152).
+
+    hp is the depth perturbation (see models/swe.py); steps use Kahan
+    compensated accumulation (cu/ch carries, resumable from checkpoints) and
+    conservation drift is measured host-side in f64."""
+    import jax.numpy as jnp
     os.makedirs(outdir, exist_ok=True)
-    c0 = {k: float(v) for k, v in sw.conservation(u, h, bot).items()}
+    if cu is None:
+        cu, ch = jnp.zeros_like(u), jnp.zeros_like(hp)
+    c0 = sw.conservation_f64(u, hp, cu, ch)
     hdr = ["mass", "vort", "ener", "enst"]
     dump = start_step // max(dump_every, 1)
     for step in range(start_step + 1, nsteps + 1):
         t0 = time.time()
-        u, h = sw.step(u, h, bot)
+        u, hp, cu, ch = sw._step_k(u, hp, cu, ch)
         if verbose:
             print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s", flush=True)
         if dump_every and step % dump_every == 0:
@@ -34,8 +41,8 @@ def run_sw(sw, u, h, nsteps, dump_every, outdir="output", bot=None,
             w = sw.curl(u)
             mio.write0(sw.ops, w, "vorticity", dump, outdir)
             mio.write1(sw.ops, u, "velocity", dump, outdir)
-            mio.write2(sw.ops, h, "pressure", dump, outdir)
-            c = {k: float(v) for k, v in sw.conservation(u, h, bot).items()}
+            mio.write2(sw.ops, sw.h_full(hp), "pressure", dump, outdir)
+            c = sw.conservation_f64(u, hp, cu, ch)
             drifts = {
                 "mass": (c["mass"] - c0["mass"]) / c0["mass"],
                 "vort": c["vort"] - c0["vort"],
@@ -45,15 +52,15 @@ def run_sw(sw, u, h, nsteps, dump_every, outdir="output", bot=None,
             mio.append_conservation(os.path.join(outdir, "conservation.dat"),
                                     step * sw.dt, drifts, header=hdr)
             mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
-                                step, u=u, h=h)
+                                step, u=u, h=hp, cu=cu, ch=ch)
             if error_norms is not None:
-                norms = error_norms(sw, u, h)
+                norms = error_norms(sw, u, hp)
                 with open(os.path.join(outdir, "errors.dat"), "a") as f:
                     row = [step * sw.dt / 86400.0]
                     for k in ("w", "u", "h"):
                         row += [float(x) for x in np.asarray(norms[k])]
                     f.write("\t".join(f"{x:.16e}" for x in row) + "\n")
-    return u, h
+    return u, hp
 
 
 def run_euler(eul, state, nsteps, dump_every, outdir="output", start_step=0,

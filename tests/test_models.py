@@ -46,11 +46,12 @@ def test_rosenbrock_w2_steady():
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh)
     sw = SWEqnRosenbrock(ops, dt=300.0, grav=w2.GRAV, omega=w2.OMEGA,
-                         coriolis=w2.coriolis)
+                         coriolis=w2.coriolis, h_base=w2.H0)
     u = ops.proj1(w2.u_init, w2.v_init, tol=1e-13)
-    h = ops.proj2(w2.h_init)
-    n0 = dg.err2(ops, h, w2.h_init)
-    uj, hj = sw.step(u, h)
-    n1 = dg.err2(ops, hj, w2.h_init)
+    hp = ops.proj2(lambda lon, lat: w2.h_init(lon, lat) - w2.H0)
+    hp_ana = lambda lon, lat: w2.h_init(lon, lat) - w2.H0
+    n0 = dg.err2(ops, hp, hp_ana, mag=w2.h_init)
+    uj, hj = sw.step(u, hp)
+    n1 = dg.err2(ops, hj, hp_ana, mag=w2.h_init)
     # steady state preserved at truncation level
     assert float(n1[1]) < 3.0 * float(n0[1]) + 1e-6
