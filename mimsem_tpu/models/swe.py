@@ -284,13 +284,19 @@ class SWEqn:
         hp, ch = kahan_add(hp, ch, dh)
         return u, hp, cu, ch
 
+    def run_steps_compensated(self, u, hp, cu, ch, nsteps: int):
+        """nsteps time steps in a single on-device lax.scan (one dispatch),
+        carrying the Kahan compensation across calls (production chunking)."""
+        def body(carry, _):
+            return self.step_kahan(*carry), None
+        carry, _ = jax.lax.scan(body, (u, hp, cu, ch), None, length=nsteps)
+        return carry
+
     def run_steps(self, u, hp, nsteps: int):
         """nsteps time steps in a single on-device lax.scan (one dispatch);
         Kahan-compensated accumulation internally."""
-        def body(carry, _):
-            return self.step_kahan(*carry), None
-        z = jnp.zeros_like(u), jnp.zeros_like(hp)
-        (u, hp, _, _), _ = jax.lax.scan(body, (u, hp) + z, None, length=nsteps)
+        u, hp, _, _ = self.run_steps_compensated(
+            u, hp, jnp.zeros_like(u), jnp.zeros_like(hp), nsteps)
         return u, hp
 
     # ------------------------------------------------------------------ conservation
