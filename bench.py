@@ -55,11 +55,11 @@ def main():
         from mimsem_tpu.testcases import umjs14
         eul, state = umjs14.build(ne=ne3, p=p, nk=nk3, dt=75.0,
                                   dtype=jnp.float32)
-        state = eul.step(state, first=True)
+        state, _ = eul.step_ec(state, first=True)
         jax.block_until_ready(state)
         t0 = time.perf_counter()
         for _ in range(steps3):
-            state = eul.step(state)
+            state, _ = eul.step_ec(state)
         jax.block_until_ready(state)
         sps3 = steps3 / (time.perf_counter() - t0)
         nd3 = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk3

@@ -235,6 +235,127 @@ class Euler3D:
             fu = fu + self.apply_M1k(lap)
         return fu
 
+    # ================================================================ entropy-conserving horizontal
+    def dudz_pot(self, u, rho):
+        """rho-weighted vertical shear (du/dz)/rho on interior interfaces:
+        M1t(rho)^-1 (M1 u_{k+1} - M1 u_k) -- the 'horizontal potential
+        vorticity' of the EC scheme (Euler::HorizPotVort, eul/Euler_2.cpp)."""
+        ops, vo = self.ops, self.vo
+        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
+        return self._solve_m1_int(du, tint * rint)
+
+    def grad_int_pot(self, w, rho):
+        """rho-weighted interface gradient M1t(rho)^-1 E12 M2 w (dw/dx)/rho
+        (HorizSolve::diagVertVort, eul/HorizSolve.cpp:823-861)."""
+        ops, vo = self.ops, self.vo
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
+        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
+        b = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
+        return self._solve_m1_int(b, tint * rint)
+
+    def _solve_m1_int(self, b, wq):
+        """Batched interface 1-form mass solves with quad weights wq."""
+        ops = self.ops
+        def solve_one(bk, tk):
+            G = ops.G1 * tk[..., None, None]
+            mv = lambda x: ops.scatter1(ops._apply_G(ops.gather1(x), G))
+            sc = 1.0 / jnp.mean(tk)
+            pc = lambda r: sc * ops.scatter1(
+                jnp.einsum('eij,ej->ei', ops.M1blkinv, ops.gather1(r)))
+            return solvers.cg(mv, bk, pc=pc, tol=self.mass_tol, maxiter=100,
+                              dot=ops.dot1)
+        return jax.vmap(solve_one)(b, wq)
+
+    def diagnose_q_k(self, u_h, rho_h_phys):
+        """Per-layer potential vorticity q = M0h(rho)^-1 (M0 f + E01 M1 u)
+        (HorizSolve::diagnose_q, eul/HorizSolve.cpp:475-494)."""
+        ops = self.ops
+        def one(uk, rk, tk):
+            rhs = ops.e01(ops.apply_M1(uk, weight_q=tk))
+            if self.f0 is not None:
+                rhs = rhs + ops.apply_M0(self.f0, weight_q=tk)
+            return rhs / ops.m0_lumped(tk * rk)
+        return jax.vmap(one)(u_h, rho_h_phys, self.thickq)
+
+    def advection_rhs_ec(self, u1, u2, rho1, rho2, theta_l2):
+        """Entropy-conserving horizontal flux divergences (WEAK, VB-weighted):
+          dF = VB E21 F
+          dG = 1/2 VB E21 G + 1/2 VB(theta) E21 F + <gamma, 1/2 grad(theta).F>
+        with theta the LAYER potential temperature
+        (HorizSolve::advection_rhs_ec, eul/HorizSolve.cpp:380-417).
+        Returns (dF_weak, dG_weak, F)."""
+        vo = self.vo
+        r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
+        thp = vo.phys_layer(theta_l2)
+        b = (self.apply_M1hk(u1, r1p) / 3.0 + self.apply_M1hk(u2, r1p) / 6.0
+             + self.apply_M1hk(u1, r2p) / 6.0 + self.apply_M1hk(u2, r2p) / 3.0)
+        F = self.solve_M1k(b)
+        G = self.solve_M1k(self.apply_M1hk(F, thp))
+        chiVB = vo.chi_VB()
+        dF = vo.apply_w(chiVB, self.e21k(F))
+        dG = 0.5 * vo.apply_w(chiVB, self.e21k(G)) \
+            + 0.5 * vo.apply_w(vo.chi_VB_rho(theta_l2), self.e21k(F))
+        dTh = self.grad_k(theta_l2)
+        dThp = jax.vmap(self.ops.interp1_phys)(dTh)
+        Fp = jax.vmap(self.ops.interp1_phys)(F)
+        dG = dG + vo.proj(0.5 * jnp.sum(dThp * Fp, axis=-1))
+        return dF, dG, F
+
+    def momentum_rhs_ec(self, theta_l2, uz1, uz2, w1, w2, exner,
+                        u1, u2, rho1, rho2, Fz, dwdx1, dwdx2):
+        """Entropy-conserving horizontal momentum rhs
+        (HorizSolve::momentum_rhs_ec, eul/HorizSolve.cpp:638-780):
+          E12 Phi + R(q) F + 1/2 Uh(theta) grad(Pi) - 1/2 Uh(Pi) grad(theta)
+          + 1/2 E12 M2h(Pi) theta + vertical-vorticity cross terms + viscosity,
+        with the Coriolis force inside the rho-weighted PV q and theta the
+        LAYER (W3) potential temperature.  Returns (fu, k2i) where k2i is the
+        horizontal kinetic->internal exchange power tracked exactly as the
+        reference does (:704-708)."""
+        ops, vo, nk = self.ops, self.vo, self.nk
+        Phi = self.diagnose_Phi(u1, u2, w1, w2)
+        fu = self.e12k(Phi)
+
+        # rho-weighted PV flux: R(q) F
+        r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
+        u_h = 0.5 * (u1 + u2)
+        q = self.diagnose_q_k(u_h, 0.5 * (r1p + r2p))
+        b = (self.apply_M1hk(u1, r1p) / 3.0 + self.apply_M1hk(u2, r1p) / 6.0
+             + self.apply_M1hk(u1, r2p) / 6.0 + self.apply_M1hk(u2, r2p) / 3.0)
+        F = self.solve_M1k(b)
+        fu = fu + jax.vmap(ops.apply_R)(q, F)
+
+        # +-1/2 pressure splitting: theta grad(Pi) = 1/2 theta grad(Pi)
+        # - 1/2 Pi grad(theta) + 1/2 grad(Pi theta)
+        thp = vo.phys_layer(theta_l2)
+        pip = vo.phys_layer(exner)
+        dPi = self.grad_k(exner)
+        dTh = self.grad_k(theta_l2)
+        fu = fu + 0.5 * self.apply_M1hk(dPi, thp) - 0.5 * self.apply_M1hk(dTh, pip)
+        prod = vo.apply_w(vo.chi_VB_rho(exner), theta_l2)
+        dp = 0.5 * self.e12k(prod)
+        fu = fu + dp
+        # kinetic->internal exchange power (the term the reference dots with
+        # the mass flux, eul/HorizSolve.cpp:704-708)
+        k2i = jnp.sum(jax.vmap(ops.dot1)(F, dp))
+
+        # vertical-vorticity cross terms with the rho-weighted shear
+        uzb = 0.5 * (uz1 + uz2)
+        dwb = 0.5 * (dwdx1 + dwdx2)
+        vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
+        Fzp = vo.phys_int(Fz)
+        contrib = jax.vmap(ops.rhs_P1)(vec * Fzp[..., None])
+        z = jnp.zeros_like(contrib[:1])
+        cp = jnp.concatenate([z, contrib, z], 0)
+        fu = fu + 0.5 * (cp[:-1] + cp[1:])
+
+        if self.do_visc:
+            lap = self.laplacian_k(self.laplacian_k(u_h))
+            fu = fu + self.apply_M1k(lap)
+        return fu, k2i
+
     # ================================================================ vertical implicit
     def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):
         return self._vert_residual_w_in(self.vo, self.zv, theta, pi, w1, w2,
@@ -432,6 +553,199 @@ class Euler3D:
         state, _ = jax.lax.scan(newton, state, None, length=self.newton_iters)
         return state
 
+    # ================================================================ entropy-variable vertical solve
+    def vert_residual_ec(self, theta_l2, pi_h, w1, w2, rho1, rho2, VAinv, uuz):
+        """EC w-momentum residual with the +-1/2 vertical pressure splitting
+        and the entropy-conserving temperature-transport correction
+        (VertSolve::assemble_residual_ec, eul/VertSolve.cpp:432-502):
+          F_w = VA(w2-w1) + dt V01 Phi_z + 0.5 dt VA(theta) VA^-1 V01 VB Pi
+                + 0.5 dt V01 VB(theta) Pi - 0.5 dt VAB(grad_z theta) Pi
+          f_theta_corr = 0.5 dt [ VB(theta) V10 F_z + VBA(grad_z theta) F_z ]
+        Returns (F_w, F_z, G_z, f_theta_corr, k2i_z)."""
+        vo, dt = self.vo, self.dt
+        Fz = vo.diagnose_Fz(w1, w2, rho1, rho2, VAinv)
+        Phiz = vo.diagnose_Phiz(w1, w2, self.zv)
+        fw = vo.apply_w(vo.chi_VA(), w2 - w1) + dt * vo.v01(Phiz)
+
+        # 0.5 theta grad(Pi) with the LAYER theta weighting (chi_VA_rho)
+        gradpi = vo.grad_z(pi_h, VAinv)
+        VAth = vo.wblk(vo.chi_VA_rho(theta_l2))
+        press = jnp.einsum('lnij,lnj->lni', VAth, gradpi)
+        fw = fw + 0.5 * dt * press
+        k2i_z = jnp.vdot(Fz, press)
+
+        # temperature flux G_z = VA^-1 VA(theta) F_z
+        Gz = jnp.einsum('lnij,lnj->lni', VAinv,
+                        jnp.einsum('lnij,lnj->lni', VAth, Fz))
+
+        # entropy-conserving corrections: +0.5 grad(theta Pi) - 0.5 Pi grad(theta)
+        gradth = vo.grad_z(theta_l2, VAinv)
+        fw = fw + 0.5 * dt * vo.v01(vo.apply_w(vo.chi_VB_rho(theta_l2), pi_h))
+        fw = fw - 0.5 * dt * vo.vab_w(gradth, pi_h)
+
+        if self.rayleigh:
+            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(vo.chi_VA(), w1 + w2)
+        if uuz is not None:
+            fw = fw + dt * uuz
+
+        f_theta_corr = 0.5 * dt * (
+            vo.apply_w(vo.chi_VB_rho(theta_l2), vo.v10(Fz))
+            + vo.vba_w(gradth, Fz))
+        return fw, Fz, Gz, f_theta_corr, k2i_z
+
+    def vert_solve_eta(self, w_i, rho_i, rt_i, pi_i, theta_l2_i, dFx_fn,
+                       uuz=None, rt_forcing_fn=None, newton_iters=None):
+        """Newton iterations of the entropy-variable vertical solve
+        (VertSolve::solve_schur_eta, eul/VertSolve.cpp:1721-1975): unknowns
+        (w, rho, eta=log(Theta/rho), Pi), residuals assembled exactly at the
+        half state, column 4x4 block system reduced to a block-TRIDIAGONAL
+        Helmholtz solve in d(Pi) with a block-diagonal-lumped w-mass
+        (the reference lumps pointwise, :747-752), then back-substitution
+        Theta = VB^-1 proj(rho exp(eta)) (:1864-1873).
+
+        Returns (w, rho, rt, pi, theta_l2_h, aux) with aux carrying the
+        k2i_z exchange power and the final increment max-norms (the
+        reference's 1e-12 convergence monitors, :1915-1928)."""
+        vo, dt, nk = self.vo, self.dt, self.nk
+        rdcv = RD / CV
+        chiVB = vo.chi_VB()
+        VB = vo.wblk(chiVB)
+        VBinv = inv_small(VB)
+        VAinv = vo.VA_inv_blocks()
+        VA = vo.wblk(vo.chi_VA())
+        if newton_iters is None:
+            newton_iters = self.newton_iters
+
+        def newton(state, _):
+            w_j, rho_j, rt_j, pi_j = state
+            w_h = 0.5 * (w_i + w_j)
+            rho_h = 0.5 * (rho_i + rho_j)
+            rt_h = 0.5 * (rt_i + rt_j)
+            pi_h = 0.5 * (pi_i + pi_j)
+            theta_l2_j = vo.diag_theta_l2(rho_j, rt_j)
+            theta_l2_h = 0.5 * (theta_l2_i + theta_l2_j)
+
+            # horizontal forcing recomputed every Newton iteration
+            # (eul/VertSolve.cpp:1798-1799)
+            dFx, dGx = dFx_fn(rho_j, theta_l2_h)
+
+            # ---- residuals (exact, at the half state) ----
+            F_w, Fz, Gz, f_corr, k2i_z = self.vert_residual_ec(
+                theta_l2_h, pi_h, w_i, w_j, rho_i, rho_j, VAinv, uuz)
+            F_pi = vo.eos_residual(rt_j, pi_j)
+            F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * vo.v10(Fz)) + dt * dFx
+            F_rt = vo.apply_w(chiVB, rt_j - rt_i + 0.5 * dt * vo.v10(Gz)) \
+                + dt * dGx + f_corr
+            if rt_forcing_fn is not None:
+                F_rt = F_rt + dt * rt_forcing_fn(rho_h, rt_h, pi_h)
+
+            # entropy residual from the Theta and rho residuals
+            # (eul/VertSolve.cpp:1840-1846): F_eta = VB [VB(rt)^-1 F_rt
+            # - VB(rho)^-1 F_rho]
+            VBrt_inv = inv_small(vo.wblk(vo.chi_VB_rho(rt_h)))
+            VBrho_inv = inv_small(vo.wblk(vo.chi_VB_rho(rho_h)))
+            F_eta = jnp.einsum('lnij,lnj->lni', VB,
+                               jnp.einsum('lnij,lnj->lni', VBrt_inv, F_rt)
+                               - jnp.einsum('lnij,lnj->lni', VBrho_inv, F_rho))
+
+            # theta_h in W3 and eta_h (:1848-1857)
+            th_W3 = jnp.einsum('lnij,lnj->lni', VBrho_inv,
+                               vo.apply_w(chiVB, rt_h))
+            eta_h = vo.log_theta_plus_eta(th_W3)
+
+            # ---- linearized blocks ----
+            thp = vo.phys_layer(th_W3)
+            gradpi = vo.grad_z(pi_h, VAinv)
+            dPip = vo.phys_int(gradpi)
+            gradeta = vo.grad_z(eta_h, VAinv)
+            dEtap = vo.phys_int(gradeta)
+            hdt = 0.5 * dt
+
+            # G_eta[i,k], k in {i, i+1}: 0.5 dt wblk(0.5 dPi_i theta_k / det)
+            Ge_lo = hdt * vo.wblk(0.5 * dPip * thp[:-1] / vo.det)
+            Ge_up = hdt * vo.wblk(0.5 * dPip * thp[1:] / vo.det)
+            # G_pi[i,m]: 0.5 dt VA(theta) VA^-1 V01 VB
+            A_ = jnp.einsum('lnij,lnjk->lnik', vo.wblk(vo.chi_VA_rho(th_W3)),
+                            VAinv)
+            Gp_lo = -hdt * jnp.einsum('lnij,lnjk->lnik', A_, VB[:-1])
+            Gp_up = +hdt * jnp.einsum('lnij,lnjk->lnik', A_, VB[1:])
+            # D_rho row blocks: +-0.5 dt VB[k] (VA^-1 VA(rho))[i]
+            Rnu = jnp.einsum('lnij,lnjk->lnik', VAinv,
+                             vo.wblk(vo.chi_VA_rho(rho_h)))
+            # A_eta row blocks: 0.5 dt wblk(0.5 dEta_i / det)
+            Wd = hdt * vo.wblk(0.5 * dEtap / vo.det)
+            # EOS blocks
+            N_pi = vo.eos_block(pi_h)
+            N_rho = vo.eos_block(rho_h)
+            CrVBi = jnp.einsum('lnij,lnjk->lnik', N_rho, VBinv)
+
+            # lumped w-block: L_eta[i,i] = VA[i] - Ge_lo VBinv[i] Wd[i]
+            #                              - Ge_up VBinv[i+1] Wd[i]
+            mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
+            mv = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
+            L_eta_d = VA - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
+                - mm(Ge_up, mm(VBinv[1:], Wd))
+            Mw_inv = inv_small(L_eta_d)
+
+            # pc_DIV row blocks (layers k): i=k ('hi', k<=nk-2) and i=k-1 ('lo')
+            zero = jnp.zeros_like(VB[:1])
+            D_hi = +hdt * mm(VB[:-1], Rnu)                 # rows k=0..nk-2
+            D_lo = -hdt * mm(VB[1:], Rnu)                  # rows k=1..nk-1
+            PD_hi = mm(mm(CrVBi[:-1], D_hi) + Wd, Mw_inv)  # (nk-1,...) row k=i
+            PD_lo = mm(mm(CrVBi[1:], D_lo) + Wd, Mw_inv)   # (nk-1,...) row k=i+1
+
+            # Helmholtz operator L_pi (block-tridiagonal over layers)
+            diag = N_pi - rdcv * (
+                jnp.concatenate([zero, mm(PD_lo, Gp_up)], 0)
+                + jnp.concatenate([mm(PD_hi, Gp_lo), zero], 0))
+            lower = -rdcv * jnp.concatenate([zero, mm(PD_lo, Gp_lo)], 0)
+            upper = -rdcv * jnp.concatenate([mm(PD_hi, Gp_up), zero], 0)
+
+            # ---- residual reduction ----
+            VBiFe = mv(VBinv, F_eta)
+            F_u1 = F_w - (mv(Ge_lo, VBiFe[:-1]) + mv(Ge_up, VBiFe[1:]))
+            zr = jnp.zeros_like(F_pi[:1])
+            PDF = (jnp.concatenate([zr, mv(PD_lo, F_u1)], 0)
+                   + jnp.concatenate([mv(PD_hi, F_u1), zr], 0))
+            rhs_pi = -F_pi + rdcv * (PDF - mv(CrVBi, F_rho) - F_eta)
+            d_pi = self._tridiag_thomas(lower, diag, upper, rhs_pi)
+
+            # ---- back substitution ----
+            F_u2 = -(F_u1 + mv(Gp_lo, d_pi[:-1]) + mv(Gp_up, d_pi[1:]))
+            d_w = mv(Mw_inv, F_u2)
+            AeDw = (jnp.concatenate([zr, mv(Wd, d_w)], 0)
+                    + jnp.concatenate([mv(Wd, d_w), zr], 0))
+            d_eta = -mv(VBinv, F_eta + AeDw)
+            DrDw = hdt * vo.apply_w(chiVB, vo.v10(mv(Rnu, d_w)))
+            d_rho = -mv(VBinv, F_rho + DrDw)
+
+            # eta update + Theta back-substitution (:1858-1873)
+            th_j_W3 = jnp.einsum(
+                'lnij,lnj->lni',
+                inv_small(vo.wblk(vo.chi_VB_rho(rho_j))),
+                vo.apply_w(chiVB, rt_j))
+            eta_j = vo.log_theta_plus_eta(th_j_W3, d_eta)
+
+            d = self.ops.dtype
+            w_n = (w_j + d_w).astype(d)
+            rho_n = (rho_j + d_rho).astype(d)
+            pi_n = (pi_j + d_pi).astype(d)
+            rt_n = vo.rho_exp_eta(rho_n, eta_j).astype(d)
+
+            mx = lambda a, b: jnp.max(jnp.abs(a) / jnp.maximum(
+                jnp.max(jnp.abs(b)), 1e-30))
+            norms = jnp.stack([mx(d_pi, pi_n), mx(d_w, w_n),
+                               mx(d_rho, rho_n), mx(d_eta, eta_j)])
+            return (w_n, rho_n, rt_n, pi_n), (norms, k2i_z)
+
+        state = (w_i, rho_i, rt_i, pi_i)
+        state, (norms, k2i_z) = jax.lax.scan(newton, state, None,
+                                             length=newton_iters)
+        w_j, rho_j, rt_j, pi_j = state
+        theta_l2_h = 0.5 * (theta_l2_i + vo.diag_theta_l2(rho_j, rt_j))
+        aux = dict(newton_norms=norms[-1], k2i_z=k2i_z[-1])
+        return w_j, rho_j, rt_j, pi_j, theta_l2_h, aux
+
     # ================================================================ Held-Suarez forcing
     def hs_friction(self, u, exner):
         """Rayleigh boundary-layer friction k_v(sigma) u (Held & Suarez 1994;
@@ -543,6 +857,101 @@ class Euler3D:
     def step(self, state, first=False):
         """state = (velx, w, rho, rt, exner, velx_prev)."""
         return self._step(*state, jnp.asarray(first))
+
+    # ================================================================ entropy-conserving step
+    def _step_ec_impl(self, velx, w, rho, rt, exner, velx_prev, uz_prev, first):
+        """Strang_ec HEVI step (Euler::Strang_ec, eul/Euler_2.cpp:1366-1557):
+        EC horizontal predictor (leapfrog 2dt) -> entropy-variable vertical
+        Newton (solve_schur_eta) -> EC horizontal corrector at half states.
+        Carries uz_prev (the rho-weighted shear of the previous corrector,
+        :1410-1414) for the two-state vorticity cross terms."""
+        vo, dt = self.vo, self.dt
+        theta_l2_i = vo.diag_theta_l2(rho, rt)
+        VAinv = vo.VA_inv_blocks()
+
+        # --- 1. explicit horizontal predictor (all at state 0)
+        uz0 = self.dudz_pot(velx, rho)
+        uz_prev = jnp.where(first, uz0, uz_prev)
+        dwdx1 = self.grad_int_pot(w, rho)
+        Fz1 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
+        fu0, _ = self.momentum_rhs_ec(theta_l2_i, uz0, uz0, w, w, exner,
+                                      velx, velx, rho, rho, Fz1, dwdx1, dwdx1)
+        if self.hs_forcing:
+            fu0 = fu0 + self.hs_friction(velx, exner)
+        bu = jnp.where(first,
+                       self.apply_M1k(velx) - dt * fu0,
+                       self.apply_M1k(velx_prev) - 2.0 * dt * fu0)
+        velx_1 = self.solve_M1k(bu)
+
+        # --- 2. implicit entropy-variable vertical solve
+        def dFx_fn(rho_j, theta_l2_h):
+            dF, dG, _ = self.advection_rhs_ec(velx, velx_1, rho, rho_j,
+                                              theta_l2_h)
+            return dF, dG
+        rt_forcing = None
+        if self.hs_forcing:
+            def rt_forcing(rho_h, rt_h, pi_h):
+                th = vo.diag_theta(rho_h, rt_h)
+                return self.hs_temp_forcing(rho_h, rt_h, pi_h, th)
+        w_j, rho_j, rt_j, pi_j, theta_l2_h, aux = self.vert_solve_eta(
+            w, rho, rt, exner, theta_l2_i, dFx_fn, rt_forcing_fn=rt_forcing)
+
+        # --- 3. explicit horizontal corrector (dt, half states)
+        pi_h = 0.5 * (exner + pi_j)
+        uz_new = self.dudz_pot(velx_1, rho_j)
+        dwdx2 = self.grad_int_pot(w_j, rho_j)
+        Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
+        fu, k2i = self.momentum_rhs_ec(theta_l2_h, uz_new, uz_prev, w_j, w,
+                                       pi_h, velx, velx_1, rho, rho_j, Fz,
+                                       dwdx1, dwdx2)
+        if self.hs_forcing:
+            fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
+        velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
+
+        d = self.ops.dtype
+        state = (velx_2.astype(d), w_j.astype(d), rho_j.astype(d),
+                 rt_j.astype(d), pi_j.astype(d), velx.astype(d),
+                 uz_new.astype(d))
+        aux = dict(aux, k2i=k2i)
+        return state, aux
+
+    def init_state_ec(self, velx, w, rho, rt, exner):
+        """Extended state tuple for step_ec."""
+        return (velx, w, rho, rt, exner, velx, jnp.zeros_like(velx[:-1]))
+
+    def step_ec(self, state, first=False):
+        """state = (velx, w, rho, rt, exner, velx_prev, uz_prev);
+        returns (state, aux) with aux = exchange powers + Newton norms."""
+        if not hasattr(self, '_step_ec'):
+            self._step_ec = jax.jit(self._step_ec_impl)
+        return self._step_ec(*state, jnp.asarray(first))
+
+    # ================================================================ 12-term energetics
+    def energetics_ec(self, velx, w, rho, rt, exner, k2i=0.0, k2i_z=0.0):
+        """Full reference energy budget (Euler::diagnostics,
+        eul/Euler_2.cpp:600-744): keh, kev, pe, ie, k2p, p2k, k2i, i2k,
+        k2i_z, i2k_z, mass, entr.  i2k and i2k_z are written as zero exactly
+        as the reference does (:694-697); k2i/k2i_z are the exchange powers
+        accumulated by the last step (momentum_rhs_ec / assemble_residual_ec)."""
+        ops, vo = self.ops, self.vo
+        rhop = vo.phys_layer(rho)
+        keh = 0.5 * jnp.sum(jax.vmap(ops.dot1)(self.apply_M1hk(velx, rhop),
+                                               velx))
+        kev = 0.5 * jnp.vdot(rho, vo.vba_w(w, w))
+        pe = jnp.vdot(self.zv, rho)
+        ie = (CV / CP) * jnp.vdot(rt, vo.apply_w(vo.chi_VB(), exner))
+        VAinv = vo.VA_inv_blocks()
+        Fz1 = jnp.einsum('lnij,lnj->lni', VAinv,
+                         vo.apply_w(vo.chi_VA_rho(rho), w))
+        gv = vo.v01(self.zv)
+        k2p = jnp.vdot(Fz1, gv)
+        p2k = jnp.vdot(vo.v10(Fz1), self.zv)
+        mass = jnp.sum(vo.interp(rho) * vo.Wq)
+        entr = 0.5 * jnp.vdot(vo.apply_w(vo.chi_VB(), rt),
+                              vo.diag_theta_l2(rho, rt))
+        return dict(keh=keh, kev=kev, pe=pe, ie=ie, k2p=k2p, p2k=p2k,
+                    k2i=k2i, i2k=0.0, k2i_z=k2i_z, i2k_z=0.0,
+                    mass=mass, entr=entr)
 
     # ================================================================ energetics
     def energetics(self, velx, w, rho, rt, exner):

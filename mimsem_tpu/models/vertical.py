@@ -229,6 +229,42 @@ class VerticalOps:
         gz = GRAVITY * self.levs
         return self.proj(0.5 * (gz[:-1] + gz[1:]))
 
+    def diag_theta_l2(self, rho, rt):
+        """theta in the LAYER (W3) space: VB(rho)^-1 VB rt
+        (VertSolve::diagTheta_L2, eul/VertSolve.cpp:322-354)."""
+        rhs = self.apply_w(self.chi_VB(), rt)
+        blocks = inv_small(self.wblk(self.chi_VB_rho(rho)))
+        return jnp.einsum('lnij,lnj->lni', blocks, rhs)
+
+    # ------------------------------------------------------------- entropy (eta) variable
+    def log_theta_plus_eta(self, theta_l2, deta=None):
+        """eta = VB^-1 proj[ log(theta_phys) (+ deta_phys) ]
+        (AssembleConstWithLogThetaPlusEta, eul/VertOps.cpp:1204-1255)."""
+        val = jnp.log(jnp.maximum(self.phys_layer(theta_l2), 1e-12))
+        if deta is not None:
+            val = val + self.phys_layer(deta)
+        return self._project_layer(val)
+
+    def rho_exp_eta(self, rho, eta):
+        """Theta = VB^-1 proj[ rho_phys exp(eta_phys) ]: the back-substitution
+        of the log-entropy variable (AssembleConstWithRhoExpEta,
+        eul/VertOps.cpp:1257-1305; used at eul/VertSolve.cpp:1864-1873)."""
+        val = self.phys_layer(rho) * jnp.exp(self.phys_layer(eta))
+        return self._project_layer(val)
+
+    def eos_block(self, x):
+        """Consistent EOS linearization block VB VB(x)^-1 VB ~ VB(1/x)
+        (Assemble_EOS_Block, eul/VertOps.cpp:1144-1202)."""
+        VB = self.wblk(self.chi_VB())
+        VBxinv = inv_small(self.wblk(self.chi_VB_rho(x)))
+        return jnp.einsum('lnij,lnjk,lnkm->lnim', VB, VBxinv, VB)
+
+    def grad_z(self, x_layers, VAinv):
+        """Vertical weak gradient VA^-1 V01 VB x on interior interfaces
+        (the GRAD operator of eul/VertSolve.cpp:694-698)."""
+        return jnp.einsum('lnij,lnj->lni', VAinv,
+                          self.v01(self.apply_w(self.chi_VB(), x_layers)))
+
     # ------------------------------------------------------------- EOS
     def eos_residual(self, rt, pi):
         """F_pi = proj[ log(Pi_phys) - (Rd/cv) log(Theta_phys)

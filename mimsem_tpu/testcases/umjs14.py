@@ -152,4 +152,7 @@ def build(ne: int = 8, p: int = 3, nk: int = 30, dt: float = 75.0, dtype=None,
 
     velx = eul.project_velx(fu, fv)
     w = jnp.zeros((nk - 1, ops.nel, p * p), dtype)
-    return eul, (velx, w, rho, rt, exner, velx)
+    # the production path is the entropy-conserving Strang_ec scheme
+    # (eul/UMJS14.cpp drives Euler::Strang_ec, eul/Euler_2.cpp:1366);
+    # step with eul.step_ec
+    return eul, eul.init_state_ec(velx, w, rho, rt, exner)

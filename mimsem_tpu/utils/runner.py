@@ -98,6 +98,45 @@ def run_euler(eul, state, nsteps, dump_every, outdir="output", start_step=0,
     return state
 
 
+def run_euler_ec(eul, state, nsteps, dump_every, outdir="output", start_step=0,
+                 verbose=True):
+    """Entropy-conserving 3D Euler loop (Strang_ec) with the full 12-column
+    energetics.dat of the reference (eul/Euler_2.cpp:716-733)."""
+    os.makedirs(outdir, exist_ok=True)
+    hdr = ["keh", "kev", "pe", "ie", "k2p", "p2k", "k2i", "i2k", "k2i_z",
+           "i2k_z", "mass", "entr"]
+    dump = start_step // max(dump_every, 1)
+    first = (start_step == 0)
+    for step in range(start_step + 1, nsteps + 1):
+        t0 = time.time()
+        state, aux = eul.step_ec(state, first=first)
+        first = False
+        if verbose:
+            nn = np.asarray(aux["newton_norms"])
+            print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s  "
+                  f"newton |dPi|/|Pi| {nn[0]:.2e}", flush=True)
+        if dump_every and step % dump_every == 0:
+            dump += 1
+            velx, w, rho, rt, exner = state[:5]
+            e = eul.energetics_ec(velx, w, rho, rt, exner,
+                                  k2i=aux["k2i"], k2i_z=aux["k2i_z"])
+            e = {k: float(v) for k, v in e.items()}
+            with open(os.path.join(outdir, "energetics.dat"), "a") as f:
+                cols = [step * eul.dt / 86400.0] + [e[k] for k in hdr]
+                f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+            theta = eul.vo.diag_theta(rho, rt)
+            np.savez_compressed(
+                os.path.join(outdir, f"euler_{dump:04d}.npz"),
+                velx=np.asarray(velx), w=np.asarray(w), rho=np.asarray(rho),
+                rt=np.asarray(rt), exner=np.asarray(exner),
+                theta=np.asarray(theta))
+            mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
+                                step, velx=velx, w=w, rho=rho, rt=rt,
+                                exner=exner, velx_prev=state[5],
+                                uz_prev=state[6])
+    return state
+
+
 def run_tsw(tsw, u, h, S, nsteps, dump_every, outdir="output", start_step=0,
             verbose=True):
     """Thermal-SW (EEC, SSP-RK3) loop (src/GalewskyTSW_2.cpp:182-199)."""

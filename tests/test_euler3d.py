@@ -52,3 +52,55 @@ def test_buoyant_anomaly_accelerates_upward(hydro):
     wq = np.asarray(vo.phys_int(w1))
     assert wq.max() > 1e-4          # rises
     assert wq.max() < 10.0          # but does not blow up
+
+
+# ---------------------------------------------------------------- EC scheme
+@pytest.fixture(scope="module")
+def umjs_ec():
+    """Two jitted Strang_ec steps on a tiny UMJS14 sphere config."""
+    from mimsem_tpu.testcases import umjs14
+    eul, state = umjs14.build(ne=3, p=3, nk=6, dt=60.0, dtype=jnp.float64,
+                              do_visc=False, newton_iters=8)
+    e0 = eul.energetics_ec(*state[:5])
+    aux = None
+    for i in range(2):
+        state, aux = eul.step_ec(state, first=(i == 0))
+    e1 = eul.energetics_ec(*state[:5], k2i=aux["k2i"], k2i_z=aux["k2i_z"])
+    return eul, state, aux, e0, e1
+
+
+def test_ec_newton_convergence_jitted(umjs_ec):
+    """The jitted entropy-variable vertical Newton converges: |dPi|/|Pi| and
+    |drho|/|rho| approach the reference tolerance (eul/VertSolve.cpp:1923)."""
+    eul, state, aux, e0, e1 = umjs_ec
+    norms = np.asarray(aux["newton_norms"])     # [dPi, dw, drho, deta]
+    assert norms[0] < 1e-8, f"dPi norm {norms[0]:.2e}"
+    assert norms[2] < 1e-8, f"drho norm {norms[2]:.2e}"
+
+
+def test_ec_mass_exact(umjs_ec):
+    eul, state, aux, e0, e1 = umjs_ec
+    assert abs(float((e1["mass"] - e0["mass"]) / e0["mass"])) < 1e-12
+
+
+def test_ec_k2p_p2k_adjoint(umjs_ec):
+    """k2p = -p2k exactly: the K<->P exchange powers are adjoint through the
+    vertical incidence (gv = V01 zv, eul/VertSolve.cpp:152-176)."""
+    eul, state, aux, e0, e1 = umjs_ec
+    assert abs(float(e1["k2p"] + e1["p2k"])) < 1e-10 * abs(float(e1["k2p"]))
+
+
+def test_ec_entropy_drift_at_projection_level(umjs_ec):
+    """The eta back-substitution (Theta = rho exp(eta)) conserves entropy up
+    to the high-order log/exp projection consistency error, which at this
+    coarse resolution is ~1e-3 relative per roundtrip."""
+    eul, state, aux, e0, e1 = umjs_ec
+    drift = abs(float((e1["entr"] - e0["entr"]) / e0["entr"]))
+    assert drift < 5e-3
+
+
+def test_ec_exchange_powers_finite(umjs_ec):
+    eul, state, aux, e0, e1 = umjs_ec
+    for k in ("k2i", "k2i_z", "k2p", "p2k"):
+        assert np.isfinite(float(e1[k]))
+    assert float(e1["i2k"]) == 0.0 and float(e1["i2k_z"]) == 0.0
