@@ -88,7 +88,8 @@ class SWEqn:
                  hmean: float = 1.0e4, alpha: float = 0.5, up_tau: float = 0.5,
                  coriolis=None, nits: int = 2, gmres_tol: float = None,
                  gmres_restart: int = None, gmres_maxiter: int = None,
-                 q_exact: bool = False, h_base=None, bot_fn=None):
+                 q_exact: bool = False, q_block: bool = False,
+                 h_base=None, bot_fn=None):
         self.ops = ops
         self.dt = dt
         self.grav = grav
@@ -101,7 +102,10 @@ class SWEqn:
         # reference's q_exact residual branch, src/SWEqn_Picard.cpp:438-471,
         # used by Williamson 2/5); otherwise the upwinded-PV two-state form
         # (src/SWEqn_Picard.cpp:566-581, used by Galewsky).
-        self.q_exact = q_exact
+        # q_block: the exact-enstrophy 2x2 block PV solve (diagnose_q_exact,
+        # src/SWEqn_Picard.cpp:1361-1478) instead of the midpoint lumped PV.
+        self.q_exact = q_exact or q_block
+        self.q_block = q_block
         f64 = ops.dtype == jnp.float64
         if gmres_tol is None:
             gmres_tol = 1e-12 if f64 else 2e-6
@@ -208,6 +212,43 @@ class SWEqn:
         ops = self.ops
         return ops.solve_M0(ops.e01(ops.apply_M1(u)))
 
+    def diagnose_q_block(self, ui, uj, hqi, hqj):
+        """Exact-enstrophy 2x2 block PV solve (SWEqn::diagnose_q_exact,
+        src/SWEqn_Picard.cpp:1361-1478; block field-weighted 0-form mass
+        Phmat::assemble_block, src/Assembly.cpp:447-674):
+            [M0h(1/2 hi + 1/6 hj)   M0h(1/6 hi + 1/6 hj)] [q_i]   [r_i]
+            [M0h(1/6 hi + 1/6 hj)   M0h(1/6 hi + 1/2 hj)] [q_j] = [r_j]
+        with r_a = E01 M1 (2/3 u_a + 1/3 u_b) + M0 f, returning the
+        trapezoidal PV q = (q_i + q_j)/2.  With colocated GLL quadrature the
+        0-form masses are exactly diagonal, so the block system is a pointwise
+        2x2 solve; otherwise a block CG with lumped-diagonal preconditioner."""
+        ops = self.ops
+        Mf = ops.apply_M0(self.f0)
+        r1 = ops.e01(ops.apply_M1((2.0 * ui + uj) / 3.0)) + Mf
+        r2 = ops.e01(ops.apply_M1((ui + 2.0 * uj) / 3.0)) + Mf
+        wA = 0.5 * hqi + hqj / 6.0
+        wB = (hqi + hqj) / 6.0
+        wC = hqi / 6.0 + 0.5 * hqj
+        if ops.m0_diag_exact:
+            a = ops.m0_lumped(wA)
+            b = ops.m0_lumped(wB)
+            c = ops.m0_lumped(wC)
+            det = a * c - b * b
+            qi = (c * r1 - b * r2) / det
+            qj = (a * r2 - b * r1) / det
+        else:
+            bb = jnp.stack([r1, r2])
+            mv = lambda x: jnp.stack(
+                [ops.apply_M0(x[0], wA) + ops.apply_M0(x[1], wB),
+                 ops.apply_M0(x[0], wB) + ops.apply_M0(x[1], wC)])
+            dA, dC = ops.m0_lumped(wA), ops.m0_lumped(wC)
+            pc = lambda r: jnp.stack([r[0] / dA, r[1] / dC])
+            dot = lambda x, y: ops.dot0(x[0], y[0]) + ops.dot0(x[1], y[1])
+            q2 = solvers.cg(mv, bb, pc=pc, tol=self.mass_tol, maxiter=200,
+                            dot=dot)
+            qi, qj = q2[0], q2[1]
+        return 0.5 * (qi + qj)
+
     # ------------------------------------------------------------------ residual
     def residual(self, ui, hpi, duj, dhj):
         """Picard residual in INCREMENT form: (ru, rh) with uj = ui + duj,
@@ -220,7 +261,10 @@ class SWEqn:
         hqi, hqj = self._hq(hpi), self._hq(hpj)
         F = self.diagnose_F(ui, uj, hqi, hqj)
         fu = ops.e12(self.diagnose_Phi_pert(ui, uj, hpi, hpj)) + self.fu_base
-        if self.q_exact:
+        if self.q_block:
+            qm = self.diagnose_q_block(ui, uj, hqi, hqj)
+            fu = fu + ops.apply_R(qm, F)
+        elif self.q_exact:
             qm, _ = self.diagnose_q(ui + 0.5 * duj, 0.5 * (hqi + hqj),
                                     upwind=False)
             fu = fu + ops.apply_R(qm, F)

@@ -46,8 +46,13 @@ GAMMA[3, 2] = 6.7352721231818413e-01
 
 
 class SWEqnRosenbrock(SWEqn):
-    def __init__(self, ops, dt, **kw):
-        kw.setdefault('alpha', GAMMA_0)
+    def __init__(self, ops, dt, cn: bool = False, cn_its: int = 4, **kw):
+        """cn=True switches to the Crank-Nicolson fixed-point alternative
+        (SWEqn::solve_cn, src/SWEqn_Rosenbrock.cpp:814-880): gamma_0 = 0.5
+        operator, iterate A dx = 1/2 f(x0) + 1/2 f(x) + M(x0 - x)."""
+        self.cn = cn
+        self.cn_its = cn_its
+        kw.setdefault('alpha', 0.5 if cn else GAMMA_0)
         super().__init__(ops, dt, **kw)
 
     def rhs_single(self, u, hp):
@@ -73,7 +78,27 @@ class SWEqnRosenbrock(SWEqn):
         bh = g * self.hmean * ops.apply_M2(ops.e21(du))
         return bu, bh
 
+    def increments_cn(self, u, hp):
+        """Crank-Nicolson fixed-point increments (solve_cn,
+        src/SWEqn_Rosenbrock.cpp:814-880).  The reference's stage residual
+        f = 1/2 f(x0) + 1/2 f(x) + [M1(u0-uj); M2(h0-hj)] is the CN residual
+        in increment form: M dx_total = (dt/2)(rhs(x0) + rhs(xj))."""
+        ops = self.ops
+        fn_u, fn_h = self.rhs_single(u, hp)     # f(x0) = -dt * rhs(x0)
+        duj = jnp.zeros_like(u)
+        dhj = jnp.zeros_like(hp)
+        for _ in range(self.cn_its):
+            fu, fh = self.rhs_single(u + duj, hp + dhj)
+            ru = 0.5 * fn_u + 0.5 * fu - ops.apply_M1(duj)
+            rh = 0.5 * fn_h + 0.5 * fh - ops.apply_M2(dhj)
+            du, dh = self.solve_coupled(ru, rh)
+            duj = duj + du
+            dhj = dhj + dh
+        return duj.astype(ops.dtype), dhj.astype(ops.dtype)
+
     def increments(self, u, hp):
+        if self.cn:
+            return self.increments_cn(u, hp)
         ku = [None] * 4
         kh = [None] * 4
         uj, hj = u, hp
