@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""UMJS14 baroclinic-instability production run on TPU (entropy-conserving).
+
+The reference flagship 3D configuration (eul/UMJS14.cpp:24-43,269-353):
+deg-3 basis, NK=30 stretched levels to 30 km, dt=75 s, Strang_ec
+(entropy-variable vertical solve).  Writes the full 12-column energetics.dat
+(eul/Euler_2.cpp:716-733) and verifies ENERGY-BUDGET CLOSURE: the internal
+energy gained over each dump interval must match the time-integrated
+kinetic->internal exchange powers, dIE = sum dt*(k2i + k2i_z), the EC scheme's
+defining discrete identity.
+
+Usage: python demo/run_umjs14.py [outdir] [ne] [nk] [days] [dt]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mimsem_tpu.utils import io as mio
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "demo/umjs14"
+    ne = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    nk = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    days = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+    dt = float(sys.argv[5]) if len(sys.argv) > 5 else 75.0
+    dump_every = int(round(2.0 * 3600.0 / dt))          # 2-hourly
+    nsteps = int(round(days * 86400.0 / dt))
+    os.makedirs(outdir, exist_ok=True)
+
+    from mimsem_tpu.testcases import umjs14
+    t0 = time.time()
+    eul, state = umjs14.build(ne=ne, p=3, nk=nk, dt=dt, dtype=jnp.float32)
+    ndofs = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
+    print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs}",
+          flush=True)
+
+    hdr = ["keh", "kev", "pe", "ie", "k2p", "p2k", "k2i", "i2k", "k2i_z",
+           "i2k_z", "mass", "entr"]
+    e0 = None
+    ie_prev = None
+    exch_int = 0.0          # integral of (k2i + k2i_z) dt over the interval
+    closure = []
+    t_run = 0.0
+    first = True
+    for step in range(1, nsteps + 1):
+        t0 = time.time()
+        state, aux = eul.step_ec(state, first=first)
+        first = False
+        if step <= 3 or step % dump_every == 0:
+            jax.block_until_ready(state[0])
+        t_run += time.time() - t0
+        exch_int += dt * float(aux["k2i"] + aux["k2i_z"])
+        if step % dump_every == 0:
+            velx, w, rho, rt, exner = state[:5]
+            e = eul.energetics_ec(velx, w, rho, rt, exner,
+                                  k2i=aux["k2i"], k2i_z=aux["k2i_z"])
+            e = {k: float(v) for k, v in e.items()}
+            if e0 is None:
+                e0 = e
+            with open(os.path.join(outdir, "energetics.dat"), "a") as f:
+                cols = [step * dt / 86400.0] + [e[k] for k in hdr]
+                f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+            if ie_prev is not None:
+                die = e["ie"] - ie_prev
+                rel = abs(die - exch_int) / max(abs(die), abs(exch_int), 1e-30)
+                closure.append(rel)
+                print(f"step {step}: dIE={die:+.4e}  int(k2i+k2i_z)dt="
+                      f"{exch_int:+.4e}  closure rel err={rel:.3e}", flush=True)
+            ie_prev = e["ie"]
+            exch_int = 0.0
+            nn = np.asarray(aux["newton_norms"])
+            print(f"step {step}/{nsteps}  {step/t_run:.2f} steps/s  "
+                  f"newton|dPi| {nn[0]:.2e}", flush=True)
+            dump = step // dump_every
+            mio.write_layers(eul.ops, eul.vo,
+                             dict(rho=("layer", rho), rt=("layer", rt),
+                                  exner=("layer", exner), w=("interface", w),
+                                  theta=("layer",
+                                         eul.vo.diag_theta_l2(rho, rt)),
+                                  u=("u1", velx)), dump, outdir)
+
+    velx, w, rho, rt, exner = state[:5]
+    e1 = eul.energetics_ec(velx, w, rho, rt, exner)
+    e1 = {k: float(v) for k, v in e1.items()}
+    etot0 = sum(e0[k] for k in ("keh", "kev", "pe", "ie"))
+    etot1 = sum(e1[k] for k in ("keh", "kev", "pe", "ie"))
+    print(f"\n== {days} day(s), {nsteps} steps, wall {t_run:.0f}s "
+          f"({nsteps/t_run:.2f} steps/s, {ndofs*nsteps/t_run:.3e} DOF*steps/s)")
+    print(f"mass drift  {(e1['mass']-e0['mass'])/e0['mass']:+.3e}")
+    print(f"energy drift {(etot1-etot0)/etot0:+.3e}")
+    print(f"entropy drift {(e1['entr']-e0['entr'])/e0['entr']:+.3e}")
+    if closure:
+        print(f"budget closure: median {np.median(closure):.3e}  "
+              f"worst {max(closure):.3e}")
+    with open(os.path.join(outdir, "summary.txt"), "w") as f:
+        f.write(f"ne={ne} nk={nk} days={days} dt={dt} steps={nsteps} "
+                f"wall={t_run:.0f}s steps_per_s={nsteps/t_run:.3f}\n"
+                f"mass_drift={(e1['mass']-e0['mass'])/e0['mass']:+.3e}\n"
+                f"energy_drift={(etot1-etot0)/etot0:+.3e}\n")
+        if closure:
+            f.write(f"closure_median={np.median(closure):.3e} "
+                    f"closure_worst={max(closure):.3e}\n")
+
+
+if __name__ == "__main__":
+    main()

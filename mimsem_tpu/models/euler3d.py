@@ -858,6 +858,77 @@ class Euler3D:
         """state = (velx, w, rho, rt, exner, velx_prev)."""
         return self._step(*state, jnp.asarray(first))
 
+    # ================================================================ trapezoidal step
+    def horiz_rhs(self, u, w_z, rho, rt, exner, uz, dwdx, Fz):
+        """Single-state horizontal RHS (Euler::HorizRHS, eul/Euler_2.cpp:340-427):
+        momentum forcing Fu, mass-flux divergence Fp, temperature-flux
+        divergence Ft (strong 2-form coefficients)."""
+        vo = self.vo
+        theta = vo.diag_theta(rho, rt, w=w_z if self.theta_tau else None,
+                              tau=self.theta_tau)
+        Fu = self.momentum_rhs(u, u, w_z, w_z, theta, exner, uz, uz, Fz,
+                               dwdx, dwdx)
+        Fp, Ft, _ = self.advection_rhs(u, u, rho, rho, theta)
+        return Fu, Fp, Ft
+
+    def _step_trap_impl(self, velx, w, rho, rt, exner):
+        """Trapezoidal (Heun / Crank-Nicolson-like) HEVI step
+        (Euler::Trapazoidal, eul/Euler_2.cpp:762-1003).  NOTE: the reference
+        body is compiled out (`#if 0`, :763), so the live GravWave driver's
+        per-step call is a no-op there; this implements the documented scheme:
+          1. Euler horizontal predictor at state 0
+          2. trapezoidal horizontal redo + implicit vertical solve with the
+             FIXED half-sum horizontal forcings (vert forcings are not
+             recomputed per Newton iteration in this variant, :1027)
+          3. trapezoidal horizontal corrector + final vertical solve."""
+        vo, dt = self.vo, self.dt
+        VAinv = vo.VA_inv_blocks()
+
+        # stage 0
+        uz0 = self.dudz(velx)
+        dwdx0 = self.grad_int(w)
+        Fz0 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
+        uuz = self.uuz_term(velx, uz0)
+        Fu0, Fp0, Ft0 = self.horiz_rhs(velx, w, rho, rt, exner, uz0, dwdx0, Fz0)
+
+        # 1. explicit Euler horizontal predictor
+        velx_1 = self.solve_M1k(self.apply_M1k(velx) - dt * Fu0)
+        rho_1 = rho - dt * Fp0
+        rt_1 = rt - dt * Ft0
+        pi_1 = vo.eos_exner(rt_1)
+
+        # 2. trapezoidal horizontal redo (velz stays state-0, :841)
+        uz1 = self.dudz(velx_1)
+        Fu1, Fp1, Ft1 = self.horiz_rhs(velx_1, w, rho_1, rt_1, pi_1, uz1,
+                                       dwdx0, Fz0)
+        velx_2 = self.solve_M1k(self.apply_M1k(velx) - 0.5 * dt * (Fu0 + Fu1))
+        dFh = 0.5 * (Fp0 + Fp1)
+        dGh = 0.5 * (Ft0 + Ft1)
+        w_2, rho_2, rt_2, pi_2 = self.vert_solve(
+            w, rho, rt, exner, lambda rho_j: (dFh, dGh, None), uuz)
+
+        # 3. trapezoidal horizontal corrector + final vertical solve
+        uz2 = self.dudz(velx_2)
+        dwdx2 = self.grad_int(w_2)
+        Fz2 = vo.diagnose_Fz(w_2, w_2, rho_2, rho_2, VAinv)
+        Fu2, Fp2, Ft2 = self.horiz_rhs(velx_2, w_2, rho_2, rt_2, pi_2, uz2,
+                                       dwdx2, Fz2)
+        velx_f = self.solve_M1k(self.apply_M1k(velx) - 0.5 * dt * (Fu0 + Fu2))
+        dFh2 = 0.5 * (Fp0 + Fp2)
+        dGh2 = 0.5 * (Ft0 + Ft2)
+        w_f, rho_f, rt_f, pi_f = self.vert_solve(
+            w, rho, rt, exner, lambda rho_j: (dFh2, dGh2, None), uuz)
+
+        d = self.ops.dtype
+        return (velx_f.astype(d), w_f.astype(d), rho_f.astype(d),
+                rt_f.astype(d), pi_f.astype(d))
+
+    def step_trap(self, state):
+        """state = (velx, w, rho, rt, exner); trapezoidal HEVI step."""
+        if not hasattr(self, '_step_trap'):
+            self._step_trap = jax.jit(self._step_trap_impl)
+        return self._step_trap(*state)
+
     # ================================================================ entropy-conserving step
     def _step_ec_impl(self, velx, w, rho, rt, exner, velx_prev, uz_prev, first):
         """Strang_ec HEVI step (Euler::Strang_ec, eul/Euler_2.cpp:1366-1557):

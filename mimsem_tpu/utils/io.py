@@ -54,6 +54,32 @@ def _write_field(ops, vals, name, step, outdir, ascii_dat):
         np.savetxt(os.path.join(outdir, f"{name}_{step:04d}.dat"), flat)
 
 
+def write_layers(ops, vo, fields: dict, step, outdir="output"):
+    """3D dump: physical values of layer/interface fields at quadrature points
+    with coordinates, one .npz per step (the compact analogue of the
+    reference's per-level write2 loop + writeVertToHoriz,
+    eul/Euler_2.cpp:1504-1534).  Consumed by scr/plot_cross_section.py and
+    scr/plot_latlon.py."""
+    _ensure(outdir)
+    lonlat = np.asarray(ops.lonlat)
+    zmid = 0.5 * np.asarray(vo.levs[:-1] + vo.levs[1:])
+    out = dict(lon=lonlat[..., 0], lat=lonlat[..., 1], zmid=zmid,
+               levs=np.asarray(vo.levs))
+    for name, (kind, coef) in fields.items():
+        if kind == "layer":
+            out[name] = np.asarray(vo.phys_layer(coef))
+        elif kind == "interface":
+            out[name] = np.asarray(vo.phys_int(coef))
+        elif kind == "u1":
+            import jax
+            up = np.asarray(jax.vmap(ops.interp1_phys)(coef))
+            out[name + "_x"] = up[..., 0]
+            out[name + "_y"] = up[..., 1]
+        else:
+            raise ValueError(kind)
+    np.savez_compressed(os.path.join(outdir, f"layers_{step:04d}.npz"), **out)
+
+
 def append_conservation(path, time_s, drifts: dict, header=None):
     """Append one line of conservation drifts (time in days first,
     src/SWEqn_Picard.cpp:1348-1354)."""

@@ -86,12 +86,12 @@ def run_euler(eul, state, nsteps, dump_every, outdir="output", start_step=0,
             with open(os.path.join(outdir, "energetics.dat"), "a") as f:
                 cols = [step * eul.dt / 86400.0] + [e[k] for k in hdr]
                 f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
-            theta = eul.vo.diag_theta(rho, rt)
-            np.savez_compressed(
-                os.path.join(outdir, f"euler_{dump:04d}.npz"),
-                velx=np.asarray(velx), w=np.asarray(w), rho=np.asarray(rho),
-                rt=np.asarray(rt), exner=np.asarray(exner),
-                theta=np.asarray(theta))
+            mio.write_layers(eul.ops, eul.vo,
+                             dict(rho=("layer", rho), rt=("layer", rt),
+                                  exner=("layer", exner), w=("interface", w),
+                                  theta=("layer",
+                                         eul.vo.diag_theta_l2(rho, rt)),
+                                  u=("u1", velx)), dump, outdir)
             mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
                                 step, velx=velx, w=w, rho=rho, rt=rt,
                                 exner=exner, velx_prev=state[5])
@@ -124,12 +124,12 @@ def run_euler_ec(eul, state, nsteps, dump_every, outdir="output", start_step=0,
             with open(os.path.join(outdir, "energetics.dat"), "a") as f:
                 cols = [step * eul.dt / 86400.0] + [e[k] for k in hdr]
                 f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
-            theta = eul.vo.diag_theta(rho, rt)
-            np.savez_compressed(
-                os.path.join(outdir, f"euler_{dump:04d}.npz"),
-                velx=np.asarray(velx), w=np.asarray(w), rho=np.asarray(rho),
-                rt=np.asarray(rt), exner=np.asarray(exner),
-                theta=np.asarray(theta))
+            mio.write_layers(eul.ops, eul.vo,
+                             dict(rho=("layer", rho), rt=("layer", rt),
+                                  exner=("layer", exner), w=("interface", w),
+                                  theta=("layer",
+                                         eul.vo.diag_theta_l2(rho, rt)),
+                                  u=("u1", velx)), dump, outdir)
             mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
                                 step, velx=velx, w=w, rho=rho, rt=rt,
                                 exner=exner, velx_prev=state[5],
