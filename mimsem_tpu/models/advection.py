@@ -48,3 +48,14 @@ class AdvEqn:
             return self._step_impl(carry, u), None
         h, _ = jax.lax.scan(body, h, None, length=nsteps)
         return h
+
+    def run_steps_t(self, h, vel_fn, nsteps: int, t0: float = 0.0):
+        """Time-dependent velocity: vel_fn(t) -> 1-form, evaluated at the
+        step midpoint INSIDE the scanned step (one compile, no per-step
+        dispatch -- the reference rebuilds u each step in the driver loop,
+        src/DeformFlow.cpp:84-96)."""
+        def body(carry, i):
+            u = vel_fn(t0 + (i + 0.5) * self.dt)
+            return self._step_impl(carry, u), None
+        h, _ = jax.lax.scan(body, h, jnp.arange(nsteps))
+        return h

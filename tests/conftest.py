@@ -19,3 +19,20 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+
+# The XLA:CPU JIT accumulates executable code mappings across a long test
+# session; on this container (vm.max_map_count=65530, 1 CPU) compiling the
+# large 3D Strang graphs late in a session segfaulted inside
+# backend_compile_and_load.  Dropping compiled-executable references between
+# test modules keeps the mapping count bounded.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    gc.collect()
+    jax.clear_caches()
