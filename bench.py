@@ -8,7 +8,12 @@ accelerator and prints one JSON line:
 
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
 measured against the anchor recorded in BENCH_ANCHOR (the round-1 result), so
-the series tracks self-improvement.
+the series tracks self-improvement.  The headline stays at ne=24 for series
+comparability; the BASELINE.md north-star configs (2D ne=48; 3D nk=30) are
+measured alongside with XLA-reported FLOP counts and an MFU estimate.
+
+Env knobs: BENCH_NE/BENCH_P/BENCH_STEPS (headline), BENCH_PROD=0 to skip the
+production-scale configs, BENCH_PROFILE=1 to dump a jax.profiler trace.
 """
 import json
 import os
@@ -21,62 +26,102 @@ import jax
 import jax.numpy as jnp
 
 BENCH_ANCHOR = 4.62e5  # DOF*steps/s, round-1 TPU v5e measurement (local-form DSS backend)
+PEAK_BF16 = 1.97e14    # TPU v5e (v5 lite) peak bf16 FLOP/s per chip
+
+
+def _flops_per_call(jitted, *args):
+    """XLA-reported FLOP count of one call (cost analysis of the compiled
+    executable; the profiling hook of SURVEY.md section 5)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_sw(ne, p, steps, profile=False):
+    from mimsem_tpu.testcases import galewsky
+    sw, u, h = galewsky.build(ne=ne, p=p, dt=360.0, dtype=jnp.float32)
+    ndofs = sw.ops.n1 + sw.ops.n2
+    run = jax.jit(sw.run_steps, static_argnums=2)
+    u1, h1 = run(u, h, steps)
+    jax.block_until_ready((u1, h1))
+    if profile:
+        jax.profiler.start_trace("/tmp/mimsem_trace")
+    t0 = time.perf_counter()
+    u1, h1 = run(u, h, steps)
+    jax.block_until_ready((u1, h1))
+    dt_wall = time.perf_counter() - t0
+    if profile:
+        jax.profiler.stop_trace()
+        print("profile trace: /tmp/mimsem_trace", file=sys.stderr)
+    sps = steps / dt_wall
+    flops = _flops_per_call(run, u, h, steps) / steps
+    return dict(ndofs=ndofs, steps_per_sec=sps,
+                dof_steps_per_sec=ndofs * sps,
+                flops_per_step=flops, flops_per_sec=flops * sps,
+                mfu_bf16=flops * sps / PEAK_BF16)
+
+
+def bench_euler(ne, nk, p, steps, dt=75.0):
+    from mimsem_tpu.testcases import umjs14
+    eul, state = umjs14.build(ne=ne, p=p, nk=nk, dt=dt, dtype=jnp.float32)
+    state, _ = eul.step_ec(state, first=True)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, _ = eul.step_ec(state)
+    jax.block_until_ready(state)
+    sps = steps / (time.perf_counter() - t0)
+    nd = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
+    return dict(ne=ne, nk=nk, ndofs=nd, steps_per_sec=sps,
+                dof_steps_per_sec=nd * sps)
 
 
 def main():
     ne = int(os.environ.get("BENCH_NE", "24"))
     p = int(os.environ.get("BENCH_P", "3"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
-    from mimsem_tpu.testcases import galewsky
+    profile = os.environ.get("BENCH_PROFILE", "0") == "1"
+    do_prod = os.environ.get("BENCH_PROD", "1") == "1"
 
-    sw, u, h = galewsky.build(ne=ne, p=p, dt=360.0, dtype=jnp.float32)
-    ndofs = sw.ops.n1 + sw.ops.n2
+    head = bench_sw(ne, p, steps, profile=profile)
 
-    # warmup/compile (single scanned dispatch covers all steps)
-    run = jax.jit(sw.run_steps, static_argnums=2)
-    u1, h1 = run(u, h, steps)
-    jax.block_until_ready((u1, h1))
-
-    t0 = time.perf_counter()
-    u1, h1 = run(u, h, steps)
-    jax.block_until_ready((u1, h1))
-    dt_wall = time.perf_counter() - t0
-
-    sps = steps / dt_wall
-    value = ndofs * sps
-
-    # secondary: 3D baroclinic Euler (UMJS14 config family, reduced size for
-    # the bench window; full config is ne=48/4-equivalent, nk=30)
-    euler = {}
+    extras = {}
+    # secondary: 3D baroclinic Euler (EC scheme), bench-window size
     try:
-        ne3 = int(os.environ.get("BENCH_NE3", "6"))
-        nk3 = int(os.environ.get("BENCH_NK3", "16"))
-        steps3 = int(os.environ.get("BENCH_STEPS3", "5"))
-        from mimsem_tpu.testcases import umjs14
-        eul, state = umjs14.build(ne=ne3, p=p, nk=nk3, dt=75.0,
-                                  dtype=jnp.float32)
-        state, _ = eul.step_ec(state, first=True)
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(steps3):
-            state, _ = eul.step_ec(state)
-        jax.block_until_ready(state)
-        sps3 = steps3 / (time.perf_counter() - t0)
-        nd3 = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk3
-        euler = {"euler3d_dof_steps_per_sec": nd3 * sps3,
-                 "euler3d_steps_per_sec": sps3,
-                 "euler3d_ne": ne3, "euler3d_nk": nk3}
-    except Exception as e:  # never fail the headline metric
-        euler = {"euler3d_error": repr(e)[:200]}
+        extras["euler3d"] = bench_euler(
+            int(os.environ.get("BENCH_NE3", "6")),
+            int(os.environ.get("BENCH_NK3", "16")), p,
+            int(os.environ.get("BENCH_STEPS3", "5")))
+    except Exception as e:
+        extras["euler3d_error"] = repr(e)[:200]
+    # production / north-star configs (BASELINE.md: 2D ne=48; 3D nk=30)
+    if do_prod:
+        try:
+            extras["prod_sw_ne48"] = bench_sw(48, p, max(4, steps // 2))
+        except Exception as e:
+            extras["prod_sw_error"] = repr(e)[:200]
+        try:
+            extras["prod_euler_nk30"] = bench_euler(
+                int(os.environ.get("BENCH_NE3P", "12")), 30, p, 3)
+        except Exception as e:
+            extras["prod_euler_error"] = repr(e)[:200]
 
     out = {
         "metric": "dof_steps_per_sec",
-        "value": value,
+        "value": head["dof_steps_per_sec"],
         "unit": "DOF*steps/s",
-        "vs_baseline": value / BENCH_ANCHOR,
-        "config": {"case": "galewsky", "ne": ne, "p": p, "ndofs": ndofs,
-                   "steps_per_sec": sps, "device": str(jax.devices()[0]),
-                   "dtype": "float32", **euler},
+        "vs_baseline": head["dof_steps_per_sec"] / BENCH_ANCHOR,
+        "config": {"case": "galewsky", "ne": ne, "p": p,
+                   "ndofs": head["ndofs"],
+                   "steps_per_sec": head["steps_per_sec"],
+                   "flops_per_step": head["flops_per_step"],
+                   "mfu_bf16": head["mfu_bf16"],
+                   "device": str(jax.devices()[0]),
+                   "dtype": "float32", **extras},
     }
     print(json.dumps(out))
 
