@@ -30,8 +30,9 @@ def main():
     nk = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     days = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     dt = float(sys.argv[5]) if len(sys.argv) > 5 else 75.0
-    dump_every = int(round(2.0 * 3600.0 / dt))          # 2-hourly
     nsteps = int(round(days * 86400.0 / dt))
+    dump_every = int(round(2.0 * 3600.0 / dt))          # 2-hourly
+    dump_every = max(1, min(dump_every, nsteps // 4))   # >=4 dumps even on smokes
     os.makedirs(outdir, exist_ok=True)
 
     from mimsem_tpu.testcases import umjs14
