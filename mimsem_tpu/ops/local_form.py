@@ -73,6 +73,17 @@ class LocalOps(SpaceOps):
         m1 = np.bincount(topo.e2d1.ravel(), minlength=self.n1)
         self.wdot1 = jnp.asarray(1.0 / m1[topo.e2d1.ravel()], dtype)
 
+        # sharding v2: explicit owner-computes DSS (parallel/spmd_dss.py)
+        # whenever the element sharding is backed by a multi-device mesh and
+        # whole element rows divide evenly across it; GSPMD fallback else.
+        self.spmd = None
+        devmesh = getattr(el_sharding, 'mesh', None)
+        if devmesh is not None and devmesh.devices.size > 1 \
+                and (self.nf * self.ney) % devmesh.devices.size == 0:
+            from ..parallel.spmd_dss import SpmdDss
+            self.spmd = SpmdDss(self, devmesh,
+                                axis=devmesh.axis_names[0])
+
     # ------------------------------------------------------------------ strip tools
     def _strip1(self, f, side):
         """(el, slot) numpy arrays of the 1-form boundary slots along a face side,
@@ -221,6 +232,8 @@ class LocalOps(SpaceOps):
 
     def dss1(self, vl):
         """Signed sum of shared 1-form contributions -> consistent local array."""
+        if self.spmd is not None:
+            return self.spmd.dss1(vl.reshape(-1)).reshape(vl.shape)
         p, np1 = self.p, self.p + 1
         n1loc = self.n1loc
         v = vl.reshape(self.nel, 2 * n1loc)
@@ -279,15 +292,21 @@ class LocalOps(SpaceOps):
     def dss0(self, vl):
         """Sum shared 0-form contributions: two in-face passes + panel edges
         + cube vertices."""
+        if self.spmd is not None:
+            return self.spmd.dss0(vl.reshape(-1)).reshape(vl.shape)
         p, np1 = self.p, self.p + 1
         v0 = vl.reshape(self._sh0)
+        # each direction completes (interior + wrap) before the next starts,
+        # so wrap-corner summation ORDER matches the SPMD DSS bit-for-bit
+        # (parallel/spmd_dss.py finishes x before exchanging y strips)
         s = v0[:, :, :-1, :, p] + v0[:, :, 1:, :, 0]
         v0 = v0.at[:, :, :-1, :, p].set(s).at[:, :, 1:, :, 0].set(s)
-        s = v0[:, :-1, :, p, :] + v0[:, 1:, :, 0, :]
-        v0 = v0.at[:, :-1, :, p, :].set(s).at[:, 1:, :, 0, :].set(s)
         if self.periodic:
             s = v0[:, :, -1, :, p] + v0[:, :, 0, :, 0]
             v0 = v0.at[:, :, -1, :, p].set(s).at[:, :, 0, :, 0].set(s)
+        s = v0[:, :-1, :, p, :] + v0[:, 1:, :, 0, :]
+        v0 = v0.at[:, :-1, :, p, :].set(s).at[:, 1:, :, 0, :].set(s)
+        if self.periodic:
             s = v0[:, -1, :, p, :] + v0[:, 0, :, 0, :]
             v0 = v0.at[:, -1, :, p, :].set(s).at[:, 0, :, 0, :].set(s)
         else:

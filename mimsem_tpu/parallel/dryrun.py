@@ -41,8 +41,13 @@ def run(n_devices: int) -> None:
     from mimsem_tpu.parallel.sharding import make_mesh, element_sharding
     from mimsem_tpu.testcases import williamson2 as w2
 
+    # ne=4: 6*4=24 element rows divide any n_devices<=24 that divides 24, so
+    # the owner-computes shard_map DSS (parallel/spmd_dss.py) is active; with
+    # a non-divisible grid LocalOps falls back to GSPMD transparently.
+    ne = 4 if 24 % n_devices == 0 else 2
+
     # --- single-device reference result ---------------------------------
-    sw0, u0, h0 = w2.build(ne=2, p=3, dt=600.0, dtype=jnp.float64,
+    sw0, u0, h0 = w2.build(ne=ne, p=3, dt=600.0, dtype=jnp.float64,
                            gmres_restart=20, gmres_maxiter=2)
     u_ref, h_ref = jax.jit(sw0._step_impl)(u0, h0)
     u_ref, h_ref = np.asarray(u_ref), np.asarray(h_ref)
@@ -50,8 +55,10 @@ def run(n_devices: int) -> None:
     # --- sharded over the n-device mesh ----------------------------------
     mesh = make_mesh(n_devices)
     el_sh = element_sharding(mesh)
-    sw, u, h = w2.build(ne=2, p=3, dt=600.0, dtype=jnp.float64,
+    sw, u, h = w2.build(ne=ne, p=3, dt=600.0, dtype=jnp.float64,
                         el_sharding=el_sh, gmres_restart=20, gmres_maxiter=2)
+    if 24 % n_devices == 0:
+        assert sw.ops.spmd is not None, "owner-computes DSS should be active"
     step = jax.jit(sw._step_impl)
     u1, h1 = step(u, h)
     jax.block_until_ready((u1, h1))

@@ -7,9 +7,12 @@ array across a 1-D device mesh and let GSPMD insert the collectives for the
 DOF-vector gathers/scatter-adds (the analogue of PETSc VecScatter halos) and
 for reductions (the analogue of MPI_Allreduce).
 
-Round-1 layout: element arrays sharded on axis 0; global DOF vectors
-replicated.  The scatter-add then lowers to a partial-sum + all-reduce over
-ICI.  (A halo-exchange owner-computes layout is the planned optimization.)
+Layout: element arrays sharded on axis 0 in contiguous whole-row blocks.
+When the row count divides the device count, LocalOps activates the
+owner-computes shard_map DSS (spmd_dss.py): in-face sums local, row-boundary
+strips over nearest-neighbor ppermute, panel edges + vertices over one
+packed boundary psum -- measured 54x less collective traffic than the GSPMD
+fallback (69 kB vs 3.7 MB per ne=4 SW step; scripts/analyze_collectives.py).
 """
 from __future__ import annotations
 
