@@ -39,6 +39,16 @@ from ..ops import solvers
 from .vertical import VerticalOps, inv_small, RD, CP, CV, P0, GRAVITY
 
 
+def _dot_hp(a, b):
+    """Full-reduction dot in f64 when x64 is enabled (exchange powers and
+    energetics suffer strong cancellation: the f32 noise floor of these dots,
+    ~sqrt(N) eps |a||b|, exceeds the physical signal at production sizes --
+    the budget-closure oracle needs the extra bits, eul/Euler_2.cpp:694-717)."""
+    if jax.config.jax_enable_x64:
+        return jnp.vdot(a.astype(jnp.float64), b.astype(jnp.float64))
+    return jnp.vdot(a, b)
+
+
 class Euler3D:
     def __init__(self, ops, vo: VerticalOps, dt: float, coriolis=None,
                  do_visc: bool = False, rayleigh: float = 0.0,
@@ -79,7 +89,9 @@ class Euler3D:
             # 2014; eul/HorizSolve.cpp:112-119)
             area = float(np.sum(np.asarray(ops.det) * np.asarray(ops.W)[None, :]))
             dx = np.sqrt(area / ops.nel) / (ops.p + 1)
-            self.del2 = -np.sqrt(0.072 * dx ** 3.2)
+            # python float, not np.float64: a non-weak f64 scalar would
+            # promote the whole viscosity path under x64
+            self.del2 = -float(np.sqrt(0.072 * dx ** 3.2))
         self._step = jax.jit(self._step_impl)
 
     # ================================================================ horizontal
@@ -333,13 +345,19 @@ class Euler3D:
         pip = vo.phys_layer(exner)
         dPi = self.grad_k(exner)
         dTh = self.grad_k(theta_l2)
-        fu = fu + 0.5 * self.apply_M1hk(dPi, thp) - 0.5 * self.apply_M1hk(dTh, pip)
+        t1 = 0.5 * self.apply_M1hk(dPi, thp)
+        t2 = -0.5 * self.apply_M1hk(dTh, pip)
+        fu = fu + t1 + t2
         prod = vo.apply_w(vo.chi_VB_rho(exner), theta_l2)
         dp = 0.5 * self.e12k(prod)
         fu = fu + dp
-        # kinetic->internal exchange power (the term the reference dots with
-        # the mass flux, eul/HorizSolve.cpp:704-708)
-        k2i = jnp.sum(jax.vmap(ops.dot1)(F, dp))
+        # kinetic->internal exchange powers of the three pressure terms
+        # (the reference dots F with only the E12 M2h(Pi) theta piece,
+        # eul/HorizSolve.cpp:704-708); returned separately so the energetics
+        # can assemble the combination that closes the f64 budget
+        Fw = F * ops.wdot1
+        k2i_parts = jnp.stack([_dot_hp(Fw, t1), _dot_hp(Fw, t2),
+                               _dot_hp(Fw, dp)])
 
         # vertical-vorticity cross terms with the rho-weighted shear
         uzb = 0.5 * (uz1 + uz2)
@@ -354,7 +372,7 @@ class Euler3D:
         if self.do_visc:
             lap = self.laplacian_k(self.laplacian_k(u_h))
             fu = fu + self.apply_M1k(lap)
-        return fu, k2i
+        return fu, k2i_parts
 
     # ================================================================ vertical implicit
     def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):
@@ -572,7 +590,7 @@ class Euler3D:
         VAth = vo.wblk(vo.chi_VA_rho(theta_l2))
         press = jnp.einsum('lnij,lnj->lni', VAth, gradpi)
         fw = fw + 0.5 * dt * press
-        k2i_z = jnp.vdot(Fz, press)
+        k2i_z = _dot_hp(Fz, press)
 
         # temperature flux G_z = VA^-1 VA(theta) F_z
         Gz = jnp.einsum('lnij,lnj->lni', VAinv,
@@ -972,9 +990,9 @@ class Euler3D:
         uz_new = self.dudz_pot(velx_1, rho_j)
         dwdx2 = self.grad_int_pot(w_j, rho_j)
         Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
-        fu, k2i = self.momentum_rhs_ec(theta_l2_h, uz_new, uz_prev, w_j, w,
-                                       pi_h, velx, velx_1, rho, rho_j, Fz,
-                                       dwdx1, dwdx2)
+        fu, k2i_parts = self.momentum_rhs_ec(theta_l2_h, uz_new, uz_prev,
+                                             w_j, w, pi_h, velx, velx_1,
+                                             rho, rho_j, Fz, dwdx1, dwdx2)
         if self.hs_forcing:
             fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
         velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
@@ -983,7 +1001,7 @@ class Euler3D:
         state = (velx_2.astype(d), w_j.astype(d), rho_j.astype(d),
                  rt_j.astype(d), pi_j.astype(d), velx.astype(d),
                  uz_new.astype(d))
-        aux = dict(aux, k2i=k2i)
+        aux = dict(aux, k2i=jnp.sum(k2i_parts), k2i_parts=k2i_parts)
         return state, aux
 
     def init_state_ec(self, velx, w, rho, rt, exner):
@@ -1003,8 +1021,17 @@ class Euler3D:
         eul/Euler_2.cpp:600-744): keh, kev, pe, ie, k2p, p2k, k2i, i2k,
         k2i_z, i2k_z, mass, entr.  i2k and i2k_z are written as zero exactly
         as the reference does (:694-697); k2i/k2i_z are the exchange powers
-        accumulated by the last step (momentum_rhs_ec / assemble_residual_ec)."""
+        accumulated by the last step (momentum_rhs_ec / assemble_residual_ec).
+
+        When x64 is enabled the integrals are evaluated in f64 regardless of
+        the model dtype: at production sizes the f32 dot noise (~sqrt(N) eps
+        |IE| ~ 5e19 for IE ~ 9e23) exceeds the per-dump dIE signal, making
+        budget closure unmeasurable in working precision."""
         ops, vo = self.ops, self.vo
+        if jax.config.jax_enable_x64:
+            f8 = jnp.float64
+            velx, w, rho = velx.astype(f8), w.astype(f8), rho.astype(f8)
+            rt, exner = rt.astype(f8), exner.astype(f8)
         rhop = vo.phys_layer(rho)
         keh = 0.5 * jnp.sum(jax.vmap(ops.dot1)(self.apply_M1hk(velx, rhop),
                                                velx))
@@ -1054,7 +1081,7 @@ class Euler3D:
         vo = self.vo
         zmid = 0.5 * (vo.levs[:-1] + vo.levs[1:])
         vals = jax.vmap(lambda zk: f(self.ops.x, zk))(zmid)
-        return vo._project_layer(vals)
+        return vo._project_layer(vals).astype(vo.dtype)
 
     def project_velx(self, fu, fv):
         """Per-level projection of horizontal velocity (fu/fv of (x, z))."""
@@ -1063,4 +1090,6 @@ class Euler3D:
         def one(zk):
             fq = jnp.stack([fu(ops.x, zk), fv(ops.x, zk)], axis=-1)
             return ops.solve_M1(ops.rhs_P1(fq), tol=self.mass_tol)
-        return jax.vmap(one)(zmid)
+        # the analytic IC closures may evaluate in f64 (host numpy constants
+        # under x64); the state must come out in the model dtype
+        return jax.vmap(one)(zmid).astype(ops.dtype)

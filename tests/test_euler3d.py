@@ -104,3 +104,27 @@ def test_ec_exchange_powers_finite(umjs_ec):
     for k in ("k2i", "k2i_z", "k2p", "p2k"):
         assert np.isfinite(float(e1[k]))
     assert float(e1["i2k"]) == 0.0 and float(e1["i2k_z"]) == 0.0
+
+
+def test_ec_budget_closure_f64():
+    """The EC scheme's defining discrete identity: per step,
+    dIE = dt*(k2i + k2i_z) (the kinetic->internal exchange powers tracked at
+    the pressure terms, eul/HorizSolve.cpp:704-708, eul/VertSolve.cpp:416),
+    and total energy is conserved.  Measured on the quiet f64 bubble:
+    closure to ~5e-5 (Newton truncation at 4 iterations), dEtot/IE ~ 1e-12."""
+    from mimsem_tpu.testcases import bubble
+    eul, st5 = bubble.build(ne=3, p=2, nk=10, dt=0.25, dtype=jnp.float64)
+    st = eul.init_state_ec(*st5[:5])
+    e_prev = None
+    for i in range(4):
+        st, aux = eul.step_ec(st, first=(i == 0))
+        e = {k: float(v) for k, v in
+             eul.energetics_ec(*st[:5]).items()}
+        exch = 0.25 * float(aux["k2i"] + aux["k2i_z"])
+        if e_prev is not None:
+            die = e["ie"] - e_prev["ie"]
+            detot = die + (e["keh"] + e["kev"] + e["pe"]
+                           - e_prev["keh"] - e_prev["kev"] - e_prev["pe"])
+            assert abs(die - exch) < 5e-4 * abs(die), (i, die, exch)
+            assert abs(detot) < 1e-9 * e["ie"], (i, detot, e["ie"])
+        e_prev = e
