@@ -95,13 +95,26 @@ class Euler3D:
         self._step = jax.jit(self._step_impl)
 
     # ================================================================ horizontal
-    def _m1k(self, u, k_weight):
-        """Layer 1-form mass: G1 * thick-type weight (vmapped over levels)."""
+    def _m1k_local(self, u, k_weight):
+        """Pre-DSS local contributions of the weighted layer 1-form mass."""
         ops = self.ops
         def one(uk, wq):
             G = ops.G1 * wq[..., None, None]
-            return ops.scatter1(ops._apply_G(ops.gather1(uk), G))
+            return ops._apply_G(ops.gather1(uk), G)
         return jax.vmap(one)(u, k_weight)
+
+    def scatter1k(self, loc):
+        """Per-level DSS of summed local contributions (nk, nel, 2*n1loc) ->
+        (nk, ln1).  Sum locals first, scatter once: each DSS costs ~30 slice
+        kernels on TPU (see SWEqn._A_u)."""
+        return jax.vmap(self.ops.scatter1)(loc)
+
+    def e12k_local(self, x2):
+        return jax.vmap(self.ops.e12_local)(x2.reshape(self.nk, -1))
+
+    def _m1k(self, u, k_weight):
+        """Layer 1-form mass: G1 * thick-type weight (vmapped over levels)."""
+        return self.scatter1k(self._m1k_local(u, k_weight))
 
     def apply_M1k(self, u):
         return self._m1k(u, self.thickq)
@@ -328,16 +341,21 @@ class Euler3D:
         reference does (:704-708)."""
         ops, vo, nk = self.ops, self.vo, self.nk
         Phi = self.diagnose_Phi(u1, u2, w1, w2)
-        fu = self.e12k(Phi)
 
         # rho-weighted PV flux: R(q) F
         r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
         u_h = 0.5 * (u1 + u2)
         q = self.diagnose_q_k(u_h, 0.5 * (r1p + r2p))
-        b = (self.apply_M1hk(u1, r1p) / 3.0 + self.apply_M1hk(u2, r1p) / 6.0
-             + self.apply_M1hk(u1, r2p) / 6.0 + self.apply_M1hk(u2, r2p) / 3.0)
+        # weight linearity: 4 rho-weighted masses collapse to 2, one DSS
+        b = self.scatter1k(
+            self._m1k_local(u1, self.thickq * (r1p / 3.0 + r2p / 6.0))
+            + self._m1k_local(u2, self.thickq * (r1p / 6.0 + r2p / 3.0)))
         F = self.solve_M1k(b)
-        fu = fu + jax.vmap(ops.apply_R)(q, F)
+
+        # ---- sum-of-locals assembly: ONE DSS for the whole forcing ----
+        loc = self.e12k_local(Phi)
+        wqk = jax.vmap(ops.interp0)(q) * ops.W
+        loc = loc + jax.vmap(ops.apply_Rq_local)(wqk, F)
 
         # +-1/2 pressure splitting: theta grad(Pi) = 1/2 theta grad(Pi)
         # - 1/2 Pi grad(theta) + 1/2 grad(Pi theta)
@@ -345,34 +363,35 @@ class Euler3D:
         pip = vo.phys_layer(exner)
         dPi = self.grad_k(exner)
         dTh = self.grad_k(theta_l2)
-        t1 = 0.5 * self.apply_M1hk(dPi, thp)
-        t2 = -0.5 * self.apply_M1hk(dTh, pip)
-        fu = fu + t1 + t2
+        t1 = self._m1k_local(dPi, 0.5 * self.thickq * thp)
+        t2 = self._m1k_local(dTh, -0.5 * self.thickq * pip)
         prod = vo.apply_w(vo.chi_VB_rho(exner), theta_l2)
-        dp = 0.5 * self.e12k(prod)
-        fu = fu + dp
+        dp = 0.5 * self.e12k_local(prod)
+        loc = loc + t1 + t2 + dp
         # kinetic->internal exchange powers of the three pressure terms
         # (the reference dots F with only the E12 M2h(Pi) theta piece,
         # eul/HorizSolve.cpp:704-708); returned separately so the energetics
-        # can assemble the combination that closes the f64 budget
-        Fw = F * ops.wdot1
-        k2i_parts = jnp.stack([_dot_hp(Fw, t1), _dot_hp(Fw, t2),
-                               _dot_hp(Fw, dp)])
+        # can assemble the combination that closes the f64 budget.  For a
+        # CONSISTENT F, <F wdot, dss(x)> == <F, x>, so the powers dot the
+        # pre-DSS locals directly.
+        Ff = F.reshape(self.nk, ops.nel, -1)
+        k2i_parts = jnp.stack([_dot_hp(Ff, t1), _dot_hp(Ff, t2),
+                               _dot_hp(Ff, dp)])
 
         # vertical-vorticity cross terms with the rho-weighted shear
         uzb = 0.5 * (uz1 + uz2)
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
         Fzp = vo.phys_int(Fz)
-        contrib = jax.vmap(ops.rhs_P1)(vec * Fzp[..., None])
+        contrib = jax.vmap(ops.rhs_P1_local)(vec * Fzp[..., None])
         z = jnp.zeros_like(contrib[:1])
         cp = jnp.concatenate([z, contrib, z], 0)
-        fu = fu + 0.5 * (cp[:-1] + cp[1:])
+        loc = loc + 0.5 * (cp[:-1] + cp[1:])
 
         if self.do_visc:
             lap = self.laplacian_k(self.laplacian_k(u_h))
-            fu = fu + self.apply_M1k(lap)
-        return fu, k2i_parts
+            loc = loc + self._m1k_local(lap, self.thickq)
+        return self.scatter1k(loc), k2i_parts
 
     # ================================================================ vertical implicit
     def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):

@@ -181,10 +181,11 @@ class SWEqn:
         """F = M1^-1 [1/3 Uh(hi)ui + 1/6 Uh(hi)uj + 1/6 Uh(hj)ui + 1/3 Uh(hj)uj]
         (src/SWEqn_Picard.cpp:253-284); depth enters as quad-point weights."""
         ops = self.ops
-        b = (ops.apply_M1(ui, weight_q=hqi) / 3.0
-             + ops.apply_M1(uj, weight_q=hqi) / 6.0
-             + ops.apply_M1(ui, weight_q=hqj) / 6.0
-             + ops.apply_M1(uj, weight_q=hqj) / 3.0)
+        # the weight enters the element metric linearly, so the 4 applications
+        # collapse to 2 combined-weight ones sharing a single DSS
+        b = ops.scatter1(
+            ops.apply_M1_local(ui, weight_q=hqi / 3.0 + hqj / 6.0)
+            + ops.apply_M1_local(uj, weight_q=hqi / 6.0 + hqj / 3.0))
         return ops.solve_M1(b, tol=self.mass_tol)
 
     def diagnose_Phi_pert(self, ui, uj, hpi, hpj):
@@ -260,31 +261,42 @@ class SWEqn:
         hpj = hpi + dhj
         hqi, hqj = self._hq(hpi), self._hq(hpj)
         F = self.diagnose_F(ui, uj, hqi, hqj)
-        fu = ops.e12(self.diagnose_Phi_pert(ui, uj, hpi, hpj)) + self.fu_base
+        # sum-of-locals: Phi gradient + PV cross product + M1 duj share ONE
+        # DSS (the dominant TPU cost of the residual); fu_base is already a
+        # consistent global vector and adds after the scatter
+        loc = ops.apply_M1_local(duj) \
+            + dt * ops.e12_local(self.diagnose_Phi_pert(ui, uj, hpi, hpj))
         if self.q_block:
             qm = self.diagnose_q_block(ui, uj, hqi, hqj)
-            fu = fu + ops.apply_R(qm, F)
+            wq = ops.interp0(qm) * ops.W
         elif self.q_exact:
             qm, _ = self.diagnose_q(ui + 0.5 * duj, 0.5 * (hqi + hqj),
                                     upwind=False)
-            fu = fu + ops.apply_R(qm, F)
+            wq = ops.interp0(qm) * ops.W
         else:
             qi, Pi = self.diagnose_q(ui, hqi, upwind=True)
             qj, Pj = self.diagnose_q(uj, hqj, upwind=True)
-            fu = fu + 0.5 * ops.apply_R_up(qi, F, Pi) \
-                    + 0.5 * ops.apply_R_up(qj, F, Pj)
+            wq = 0.5 * (ops.interp0_up(qi, Pi)
+                        + ops.interp0_up(qj, Pj)) * ops.W
+        loc = loc + dt * ops.apply_Rq_local(wq, F)
+        ru = ops.scatter1(loc) + dt * self.fu_base
         fh = ops.apply_M2(ops.e21(F))
-        ru = ops.apply_M1(duj) + dt * fu
         rh = ops.apply_M2(dhj) + dt * fh
         return ru, rh
 
     # ------------------------------------------------------------------ linear solve
     def _A_u(self, u):
-        """Velocity Schur operator M1 + a dt R(f) - (a dt)^2 g H E12 M2 E21."""
+        """Velocity Schur operator M1 + a dt R(f) - (a dt)^2 g H E12 M2 E21.
+
+        Sum-of-locals form: the three operator outputs share ONE DSS (the
+        scatter is linear; each separate scatter costs ~30 slice kernels on
+        TPU and this operator runs every GMRES iteration)."""
         ops = self.ops
         a = self.alpha * self.dt
-        return (ops.apply_M1(u) + a * ops.apply_R(self.f0, u)
-                - a * a * self.grav * self.hmean * ops.e12(ops.apply_M2(ops.e21(u))))
+        loc = (ops.apply_M1_local(u) + a * ops.apply_R_local(self.f0, u)
+               - a * a * self.grav * self.hmean
+               * ops.e12_local(ops.apply_M2(ops.e21(u))))
+        return ops.scatter1(loc)
 
     def _pc_u(self, r):
         ops = self.ops

@@ -216,25 +216,37 @@ class SpaceOps:
         bot = np.concatenate([Ayx, Ayy], axis=2)
         return np.concatenate([top, bot], axis=1)
 
-    def apply_M1(self, u1, h2=None, weight_q=None):
-        """1-form mass (Umat); with h2 (a 2-form) or weight_q (physical values
-        at quad points, (nel, nq)) the field-weighted Uhmat
-        (src/Assembly.cpp:30-124, 675-734): G = w J^T J h_phys / det."""
+    def apply_M1_local(self, u1, h2=None, weight_q=None):
+        """Pre-assembly local contributions of apply_M1, (nel, 2*n1loc).
+
+        The DSS/scatter is LINEAR: consumers that sum several operator
+        outputs should sum the local contributions and scatter ONCE -- on
+        TPU each scatter costs ~30 small kernels, and fusing them was the
+        single largest step-time win (see SWEqn._A_u)."""
         G = self.G1
         if h2 is not None:
             G = G * self.interp2_phys(h2)[..., None, None]
         if weight_q is not None:
             G = G * weight_q[..., None, None]
-        return self.scatter1(self._apply_G(self.gather1(u1), G))
+        return self._apply_G(self.gather1(u1), G)
+
+    def apply_M1(self, u1, h2=None, weight_q=None):
+        """1-form mass (Umat); with h2 (a 2-form) or weight_q (physical values
+        at quad points, (nel, nq)) the field-weighted Uhmat
+        (src/Assembly.cpp:30-124, 675-734): G = w J^T J h_phys / det."""
+        return self.scatter1(self.apply_M1_local(u1, h2, weight_q))
+
+    def apply_R_local(self, q0, u1):
+        """Pre-assembly local contributions of apply_R, (nel, 2*n1loc)."""
+        wq = self.interp0(q0) * self.W
+        qx, qy = self.interp1_ref(u1)
+        return jnp.concatenate([(-wq * qy) @ self.B1x,
+                                (+wq * qx) @ self.B1y], axis=1)
 
     def apply_R(self, q0, u1):
         """Rotational (potential-vorticity cross-product) operator RotMat
         (src/Assembly.cpp:1346-1395): metric-free q x ( ) in reference coords."""
-        wq = self.interp0(q0) * self.W
-        qx, qy = self.interp1_ref(u1)
-        rx = -wq * qy
-        ry = +wq * qx
-        return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+        return self.scatter1(self.apply_R_local(q0, u1))
 
     def apply_R_apvm(self, q0, u_adv, dq1, tau, v1):
         """Anticipated-potential-vorticity rotational operator applied to v1:
@@ -284,12 +296,16 @@ class SpaceOps:
         """PtQmat action: quadrature values -> 0-form rhs (src/Assembly.cpp:994-1036)."""
         return self.scatter0((f_q * self.wdet) @ self.B0)
 
+    def rhs_P1_local(self, f_q):
+        """Pre-assembly local contributions of rhs_P1, (nel, 2*n1loc)."""
+        fx = self.W * (self.J[..., 0, 0] * f_q[..., 0] + self.J[..., 1, 0] * f_q[..., 1])
+        fy = self.W * (self.J[..., 0, 1] * f_q[..., 0] + self.J[..., 1, 1] * f_q[..., 1])
+        return jnp.concatenate([fx @ self.B1x, fy @ self.B1y], axis=1)
+
     def rhs_P1(self, f_q):
         """UtQmat action: physical vector at quads (nel, nq, 2) -> 1-form rhs
         (src/Assembly.cpp:1052-1139): B^T (w J^T f)."""
-        fx = self.W * (self.J[..., 0, 0] * f_q[..., 0] + self.J[..., 1, 0] * f_q[..., 1])
-        fy = self.W * (self.J[..., 0, 1] * f_q[..., 0] + self.J[..., 1, 1] * f_q[..., 1])
-        return self.scatter1(jnp.concatenate([fx @ self.B1x, fy @ self.B1y], axis=1))
+        return self.scatter1(self.rhs_P1_local(f_q))
 
     def rhs_P2(self, f_q):
         """WtQmat action: physical values at quads -> 2-form rhs (src/Assembly.cpp:934-979)."""
@@ -332,6 +348,20 @@ class SpaceOps:
         src = jnp.concatenate([(-self.e21_sgn * h2[:, None]).ravel(),
                                jnp.zeros(1, self.dtype)])
         return jnp.sum(src[self.t_e12], axis=1)
+
+    def e12_local(self, h2):
+        """Pre-assembly local contributions of e12, (nel, 2*n1loc): the
+        per-element adjoint divergence stencil (sum with other local
+        contributions, then scatter1 once)."""
+        p, np1 = self.p, self.p + 1
+        nel = self.nel
+        h = self.gather2(h2).reshape(nel, p, p)
+        gx = jnp.zeros((nel, p, np1), self.dtype)
+        gx = gx.at[:, :, 1:].add(-h).at[:, :, :-1].add(+h)
+        gy = jnp.zeros((nel, np1, p), self.dtype)
+        gy = gy.at[:, 1:, :].add(-h).at[:, :-1, :].add(+h)
+        return jnp.concatenate([gx.reshape(nel, -1),
+                                gy.reshape(nel, -1)], axis=1)
 
     # ------------------------------------------------------------------ upwinded (departure-point) operators
     def ref_velocity(self, u1):
@@ -385,14 +415,19 @@ class SpaceOps:
         mv = lambda x: self.apply_M0h_up(x, hq, P_up)
         return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
 
+    def apply_Rq_local(self, wq, u1):
+        """Local cross-product contributions for a precomputed PV quadrature
+        weight wq (nel, nq) -- lets callers combine several PV fields into
+        one weight and share one DSS."""
+        qx, qy = self.interp1_ref(u1)
+        return jnp.concatenate([(-wq * qy) @ self.B1x,
+                                (+wq * qx) @ self.B1y], axis=1)
+
     def apply_R_up(self, q0, u1, P_up):
         """Upwinded rotational operator RotMat_up (src/Assembly.cpp:1784-1853):
         PV interpolated at departure points, metric-free cross product."""
         wq = self.interp0_up(q0, P_up) * self.W
-        qx, qy = self.interp1_ref(u1)
-        rx = -wq * qy
-        ry = +wq * qx
-        return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+        return self.scatter1(self.apply_Rq_local(wq, u1))
 
     # ------------------------------------------------------------------ solves
     def solve_M2(self, b2, h2=None, tol=1e-14):

@@ -73,6 +73,15 @@ class LocalOps(SpaceOps):
         m1 = np.bincount(topo.e2d1.ravel(), minlength=self.n1)
         self.wdot1 = jnp.asarray(1.0 / m1[topo.e2d1.ravel()], dtype)
 
+        # single-launch partner-gather DSS for the single-device hot path.
+        # The slicing DSS below compiles to ~50 tiny dynamic-slice/update
+        # kernels; at ~10 us TPU launch latency each that is ~0.8 ms per
+        # call, and a Picard step makes ~40 DSS calls -- the dominant cost of
+        # the whole solver (measured: 53 ms SW step at ne=24, ~60% in DSS).
+        # Every shared DOF has <= 3 partner copies, so the DSS is one fused
+        # gather + multiply-add:  out_i = v_i + sum_k sgn_ik v_{partner_ik}.
+        self._build_partner_tables(topo)
+
         # sharding v2: explicit owner-computes DSS (parallel/spmd_dss.py)
         # whenever the element sharding is backed by a multi-device mesh and
         # whole element rows divide evenly across it; GSPMD fallback else.
@@ -83,6 +92,53 @@ class LocalOps(SpaceOps):
             from ..parallel.spmd_dss import SpmdDss
             self.spmd = SpmdDss(self, devmesh,
                                 axis=devmesh.axis_names[0])
+
+    def _build_partner_tables(self, topo: Topology):
+        """Flat partner index/sign tables driving the gather DSS.
+
+        1-forms: each shared DOF has exactly 2 copies -> one partner, and
+        out_i = v_i + sgn_i sgn_j v_j reproduces the slicing DSS bit-for-bit.
+        0-forms: up to 4 copies (element corners) / 3 (cube vertices) -> up
+        to 3 partners summed in table order (ulp-level reordering vs the
+        slicing form at corners)."""
+        # ---- 1-forms
+        g1 = topo.e2d1.ravel()
+        s1 = topo.sgn1.ravel()
+        order = np.argsort(g1, kind='stable')
+        idx1 = np.arange(g1.size, dtype=np.int64)
+        partner = idx1.copy()          # self => sgn 0 contribution
+        sgn = np.zeros(g1.size)
+        gs = g1[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        counts = np.diff(np.r_[starts, gs.size])
+        if counts.max() > 2:
+            raise RuntimeError("1-form DOF with >2 copies")
+        st2 = starts[counts == 2]
+        i, j = order[st2], order[st2 + 1]
+        partner[i], partner[j] = j, i
+        sgn[i] = sgn[j] = s1[i] * s1[j]
+        self._p1_idx = jnp.asarray(partner, jnp.int32)
+        self._p1_sgn = jnp.asarray(sgn, self.dtype)
+
+        # ---- 0-forms (up to 3 partners)
+        g0 = topo.e2d0.ravel()
+        order = np.argsort(g0, kind='stable')
+        part0 = np.zeros((g0.size, 3), np.int64)
+        msk0 = np.zeros((g0.size, 3))
+        gs = g0[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        counts = np.diff(np.r_[starts, gs.size])
+        for c in range(2, int(counts.max()) + 1 if counts.size else 2):
+            stc = starts[counts == c]
+            if stc.size == 0:
+                continue
+            grp = order[stc[:, None] + np.arange(c)]       # (ngrp, c)
+            for a in range(c):
+                others = grp[:, [b for b in range(c) if b != a]]
+                part0[grp[:, a], :c - 1] = others
+                msk0[grp[:, a], :c - 1] = 1.0
+        self._p0_idx = jnp.asarray(part0, jnp.int32)
+        self._p0_msk = jnp.asarray(msk0, self.dtype)
 
     # ------------------------------------------------------------------ strip tools
     def _strip1(self, f, side):
@@ -231,7 +287,12 @@ class LocalOps(SpaceOps):
         return v1x, v1y.at[f, 0, :, 0, :].set(val)
 
     def dss1(self, vl):
-        """Signed sum of shared 1-form contributions -> consistent local array."""
+        """Signed sum of shared 1-form contributions -> consistent local array.
+
+        Slicing form: measured 0.54 ms at ne=24 on v5e.  A single fused
+        partner-gather variant (dss1_gather) is bit-identical but measured
+        2x SLOWER (1.16 ms) -- TPU arbitrary-index gathers carry a large
+        fixed cost; kept for reference."""
         if self.spmd is not None:
             return self.spmd.dss1(vl.reshape(-1)).reshape(vl.shape)
         p, np1 = self.p, self.p + 1
@@ -288,6 +349,18 @@ class LocalOps(SpaceOps):
         if side == 'N':
             return v0.at[f, ne - 1, :, p, :].set(blk)
         return v0.at[f, 0, :, 0, :].set(blk)
+
+    def dss0_gather(self, vl):
+        """Fused partner-gather dss0 (ulp-level reordering at multi-copy
+        corners); slower than slicing on TPU, kept for reference/tests."""
+        v = vl.reshape(-1)
+        return (v + jnp.sum(jnp.take(v, self._p0_idx) * self._p0_msk,
+                            axis=-1)).reshape(vl.shape)
+
+    def dss1_gather(self, vl):
+        """Fused partner-gather dss1 (bit-identical to slicing)."""
+        v = vl.reshape(-1)
+        return (v + self._p1_sgn * jnp.take(v, self._p1_idx)).reshape(vl.shape)
 
     def dss0(self, vl):
         """Sum shared 0-form contributions: two in-face passes + panel edges
@@ -387,16 +460,8 @@ class LocalOps(SpaceOps):
         return d.reshape(-1)
 
     def e12(self, h2):
-        """-E21^T: local adjoint stencil + DSS."""
-        p, np1 = self.p, self.p + 1
-        h = h2.reshape(self.nel, p, p)
-        gx = jnp.zeros((self.nel, p, np1), self.dtype)
-        gx = gx.at[:, :, 1:].add(-h).at[:, :, :-1].add(+h)
-        gy = jnp.zeros((self.nel, np1, p), self.dtype)
-        gy = gy.at[:, 1:, :].add(-h).at[:, :-1, :].add(+h)
-        out = jnp.concatenate([gx.reshape(self.nel, -1),
-                               gy.reshape(self.nel, -1)], axis=1)
-        return self.dss1(out.reshape(-1))
+        """-E21^T: local adjoint stencil (e12_local, inherited) + DSS."""
+        return self.dss1(self.e12_local(h2).reshape(-1))
 
     # ------------------------------------------------------------------ solves
     def solve_M0(self, b0, weight_q=None):

@@ -17,49 +17,63 @@ from . import diagnostics as dg
 
 
 def run_sw(sw, u, hp, nsteps, dump_every, outdir="output",
-           start_step=0, error_norms=None, verbose=True, cu=None, ch=None):
+           start_step=0, error_norms=None, verbose=True, cu=None, ch=None,
+           profile_dir=None):
     """Semi-implicit SW time loop with conservation monitoring
     (src/Galewsky.cpp:147-158, src/Williamson2.cpp:130-152).
 
     hp is the depth perturbation (see models/swe.py); steps use Kahan
     compensated accumulation (cu/ch carries, resumable from checkpoints) and
-    conservation drift is measured host-side in f64."""
+    conservation drift is measured host-side in f64.  profile_dir captures a
+    jax.profiler device trace of the whole loop (utils/profiling.py)."""
+    import contextlib
     import jax.numpy as jnp
+    from .profiling import trace, PhaseTimer
     os.makedirs(outdir, exist_ok=True)
     if cu is None:
         cu, ch = jnp.zeros_like(u), jnp.zeros_like(hp)
     c0 = sw.conservation_f64(u, hp, cu, ch)
     hdr = ["mass", "vort", "ener", "enst"]
     dump = start_step // max(dump_every, 1)
-    for step in range(start_step + 1, nsteps + 1):
-        t0 = time.time()
-        u, hp, cu, ch = sw._step_k(u, hp, cu, ch)
-        if verbose:
-            print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s", flush=True)
-        if dump_every and step % dump_every == 0:
-            dump += 1
-            w = sw.curl(u)
-            mio.write0(sw.ops, w, "vorticity", dump, outdir)
-            mio.write1(sw.ops, u, "velocity", dump, outdir)
-            mio.write2(sw.ops, sw.h_full(hp), "pressure", dump, outdir)
-            c = sw.conservation_f64(u, hp, cu, ch)
-            drifts = {
-                "mass": (c["mass"] - c0["mass"]) / c0["mass"],
-                "vort": c["vort"] - c0["vort"],
-                "ener": (c["ener"] - c0["ener"]) / c0["ener"],
-                "enst": (c["enst"] - c0["enst"]) / c0["enst"],
-            }
-            mio.append_conservation(os.path.join(outdir, "conservation.dat"),
-                                    step * sw.dt, drifts, header=hdr)
-            mio.save_checkpoint(os.path.join(outdir, f"restart_{dump:04d}.npz"),
-                                step, u=u, h=hp, cu=cu, ch=ch)
-            if error_norms is not None:
-                norms = error_norms(sw, u, hp)
-                with open(os.path.join(outdir, "errors.dat"), "a") as f:
-                    row = [step * sw.dt / 86400.0]
-                    for k in ("w", "u", "h"):
-                        row += [float(x) for x in np.asarray(norms[k])]
-                    f.write("\t".join(f"{x:.16e}" for x in row) + "\n")
+    pt = PhaseTimer()
+    ctx = trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    with ctx:
+        for step in range(start_step + 1, nsteps + 1):
+            t0 = time.time()
+            with pt.phase("step", block_on=None):
+                u, hp, cu, ch = sw._step_k(u, hp, cu, ch)
+            if verbose:
+                print(f"step {step}/{nsteps}  wall {time.time()-t0:.3f}s",
+                      flush=True)
+            if dump_every and step % dump_every == 0:
+                dump += 1
+                with pt.phase("dump", block_on=u):
+                    w = sw.curl(u)
+                    mio.write0(sw.ops, w, "vorticity", dump, outdir)
+                    mio.write1(sw.ops, u, "velocity", dump, outdir)
+                    mio.write2(sw.ops, sw.h_full(hp), "pressure", dump, outdir)
+                    c = sw.conservation_f64(u, hp, cu, ch)
+                    drifts = {
+                        "mass": (c["mass"] - c0["mass"]) / c0["mass"],
+                        "vort": c["vort"] - c0["vort"],
+                        "ener": (c["ener"] - c0["ener"]) / c0["ener"],
+                        "enst": (c["enst"] - c0["enst"]) / c0["enst"],
+                    }
+                    mio.append_conservation(
+                        os.path.join(outdir, "conservation.dat"),
+                        step * sw.dt, drifts, header=hdr)
+                    mio.save_checkpoint(
+                        os.path.join(outdir, f"restart_{dump:04d}.npz"),
+                        step, u=u, h=hp, cu=cu, ch=ch)
+                    if error_norms is not None:
+                        norms = error_norms(sw, u, hp)
+                        with open(os.path.join(outdir, "errors.dat"), "a") as f:
+                            row = [step * sw.dt / 86400.0]
+                            for k in ("w", "u", "h"):
+                                row += [float(x) for x in np.asarray(norms[k])]
+                            f.write("\t".join(f"{x:.16e}" for x in row) + "\n")
+    if verbose and pt.acc:
+        print("phases: " + pt.summary(), flush=True)
     return u, hp
 
 
