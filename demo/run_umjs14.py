@@ -19,7 +19,7 @@ asserts no closure either (eul/Euler_2.cpp:694-717).  The production
 oracles are: exact mass, small per-day total-energy drift (viscosity +
 upwinding are intentionally dissipative), entropy drift of the same order.
 
-Usage: python demo/run_umjs14.py [outdir] [ne] [nk] [days] [dt]
+Usage: python demo/run_umjs14.py [outdir] [ne] [nk] [days] [dt] [dump_hours]
 """
 import os
 import sys
@@ -45,8 +45,9 @@ def main():
     nk = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     days = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     dt = float(sys.argv[5]) if len(sys.argv) > 5 else 75.0
+    dump_hours = float(sys.argv[6]) if len(sys.argv) > 6 else 2.0
     nsteps = int(round(days * 86400.0 / dt))
-    dump_every = int(round(2.0 * 3600.0 / dt))          # 2-hourly
+    dump_every = int(round(dump_hours * 3600.0 / dt))
     dump_every = max(1, min(dump_every, nsteps // 4))   # >=4 dumps even on smokes
     os.makedirs(outdir, exist_ok=True)
 
