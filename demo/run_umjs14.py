@@ -62,25 +62,34 @@ def main():
            "i2k_z", "mass", "entr"]
     e0 = None
     ie_prev = None
-    # integral of (k2i + k2i_z) dt, accumulated ON DEVICE: a float() here
-    # would force a device->host sync every step (ruinous over the tunneled
-    # TPU -- measured 0.6 vs 30 steps/s)
-    exch_int = jnp.zeros((), jnp.float32)
     closure = []
     t_run = 0.0
-    first = True
-    for step in range(1, nsteps + 1):
+    # first step eagerly (leapfrog start), then ONE lax.scan dispatch per
+    # dump interval: per-step python dispatch over the tunneled TPU is
+    # host-CPU sensitive and costs up to ~0.5 s/step
+    t0 = time.time()
+    state, aux = eul.step_ec(state, first=True)
+    exch_int = dt * (aux["k2i"] + aux["k2i_z"])
+    jax.block_until_ready(state[0])
+    t_run += time.time() - t0
+    step = 1
+    while step < nsteps:
+        chunk = min(dump_every - (step % dump_every) or dump_every,
+                    nsteps - step)
         t0 = time.time()
-        state, aux = eul.step_ec(state, first=first)
-        first = False
-        exch_int = exch_int + dt * (aux["k2i"] + aux["k2i_z"])
-        if step <= 3 or step % dump_every == 0:
-            jax.block_until_ready(state[0])
+        state, aux = eul.run_steps_ec(state, chunk)
+        exch_int = exch_int + aux["exch_int"]
+        jax.block_until_ready(state[0])
         t_run += time.time() - t0
+        step += chunk
         if step % dump_every == 0:
             velx, w, rho, rt, exner = state[:5]
+            # the power columns log the dump-interval MEANS (the snapshot
+            # powers of the reference fluctuate at the gravity-wave period)
             e = eul.energetics_ec(velx, w, rho, rt, exner,
-                                  k2i=aux["k2i"], k2i_z=aux["k2i_z"])
+                                  k2i=aux.get("k2i_mean", aux.get("k2i")),
+                                  k2i_z=aux.get("k2i_z_mean",
+                                                aux.get("k2i_z")))
             e = {k: float(v) for k, v in e.items()}
             if e0 is None:
                 e0 = e

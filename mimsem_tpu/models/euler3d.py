@@ -74,6 +74,16 @@ class Euler3D:
         self.nk = vo.nk
         self.do_visc = do_visc
         self.rayleigh = rayleigh
+        if rayleigh:
+            # graded top sponge on w: full/half/quarter weight on the top
+            # three interior interfaces (VertOps::AssembleRayleigh,
+            # eul/VertOps.cpp -- the 0.5/0.25/0.125 thickness factors are
+            # the VA mass x {1, 1/2, 1/4}).  Without it, waves reflecting
+            # off the rigid lid accumulate and the 12-day UMJS14 run blows
+            # up around day 3.
+            prof = np.zeros((vo.nk - 1, 1, 1))
+            prof[-1], prof[-2], prof[-3] = 1.0, 0.5, 0.25
+            self.ray_prof = jnp.asarray(prof, ops.dtype)
         self.newton_iters = newton_iters
         self.hs_forcing = hs_forcing
         # upwinded vertical basis in the theta diagnosis with tau = 0.25 dt
@@ -413,7 +423,8 @@ class Euler3D:
         tint = theta[1:-1]
         fw = fw + dt * vo.apply_w(vo.chi_VA_theta(tint), gradpi)
         if self.rayleigh:
-            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(chiA, w1 + w2)
+            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(
+                chiA * self.ray_prof, w1 + w2)
         if uuz is not None:
             fw = fw + dt * uuz
         Gz = jnp.einsum('lnij,lnj->lni', VAinv,
@@ -503,7 +514,8 @@ class Euler3D:
             # ---- linearized blocks (at the half state) ----
             M_u_chi = vo.chi_VA()
             if self.rayleigh:
-                M_u_inv = inv_small(vo.wblk(M_u_chi * (1.0 + 0.5 * dt * self.rayleigh)))
+                M_u_inv = inv_small(vo.wblk(M_u_chi * (
+                    1.0 + 0.5 * dt * self.rayleigh * self.ray_prof)))
             else:
                 M_u_inv = inv_small(vo.wblk(M_u_chi))
             N_pi_inv = inv_small(vo.n_pi_blocks(pi_h))
@@ -621,7 +633,8 @@ class Euler3D:
         fw = fw - 0.5 * dt * vo.vab_w(gradth, pi_h)
 
         if self.rayleigh:
-            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(vo.chi_VA(), w1 + w2)
+            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(
+                vo.chi_VA() * self.ray_prof, w1 + w2)
         if uuz is not None:
             fw = fw + dt * uuz
 
@@ -650,6 +663,12 @@ class Euler3D:
         VBinv = inv_small(VB)
         VAinv = vo.VA_inv_blocks()
         VA = vo.wblk(vo.chi_VA())
+        # the lumped w-block of the Jacobian carries the Rayleigh sponge term
+        # (AssembleLinearWithRayleighInv, eul/VertSolve.cpp:519-520); the
+        # residual itself adds it in vert_residual_ec
+        VA_jac = VA if not self.rayleigh else vo.wblk(
+            vo.chi_VA() * (1.0 + 0.5 * self.dt * self.rayleigh
+                           * self.ray_prof))
         if newton_iters is None:
             newton_iters = self.newton_iters
 
@@ -720,7 +739,7 @@ class Euler3D:
             #                              - Ge_up VBinv[i+1] Wd[i]
             mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
             mv = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
-            L_eta_d = VA - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
+            L_eta_d = VA_jac - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
                 - mm(Ge_up, mm(VBinv[1:], Wd))
             Mw_inv = inv_small(L_eta_d)
 
@@ -1033,6 +1052,23 @@ class Euler3D:
         if not hasattr(self, '_step_ec'):
             self._step_ec = jax.jit(self._step_ec_impl)
         return self._step_ec(*state, jnp.asarray(first))
+
+    def run_steps_ec(self, state, nsteps: int):
+        """nsteps EC steps in ONE lax.scan dispatch (first=False steps).
+
+        Per-step python dispatch costs ~0.5 s over a tunneled TPU and is
+        host-CPU sensitive; long production runs should advance in scanned
+        chunks between dumps.  Returns (state, aux) where aux carries the
+        dt-integrated exchange powers over the chunk (`exch_int`, the budget
+        diagnostic) and the LAST step's Newton norms."""
+        def body(st, _):
+            st, aux = self._step_ec_impl(*st, jnp.asarray(False))
+            return st, (aux["k2i"], aux["k2i_z"], aux["newton_norms"])
+        state, (k2i, k2iz, norms) = jax.lax.scan(body, state, None,
+                                                 length=nsteps)
+        return state, dict(exch_int=self.dt * jnp.sum(k2i + k2iz),
+                           k2i_mean=jnp.mean(k2i), k2i_z_mean=jnp.mean(k2iz),
+                           newton_norms=norms[-1])
 
     # ================================================================ 12-term energetics
     def energetics_ec(self, velx, w, rho, rt, exner, k2i=0.0, k2i_z=0.0):

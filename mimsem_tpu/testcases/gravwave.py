@@ -81,6 +81,7 @@ def theta_prime(x, z):
 
 def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 0.5, dtype=None,
           el_sharding=None, **kw):
+    kw.setdefault('rayleigh', 4.0 / 120.0)  # eul/VertSolve.cpp:32
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mesh = cubed_sphere_mesh(ne, radius=RAD)

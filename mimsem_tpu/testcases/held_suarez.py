@@ -27,6 +27,9 @@ OMEGA = 7.29212e-5
 
 def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 120.0,
           dtype=None, el_sharding=None, **kw):
+    # eul-build Rayleigh sponge (eul/VertSolve.cpp:32) is active for all
+    # sphere Euler drivers in the reference
+    kw.setdefault('rayleigh', 4.0 / 120.0)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mesh = cubed_sphere_mesh(ne, radius=RAD_SPHERE)

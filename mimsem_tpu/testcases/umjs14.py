@@ -111,6 +111,10 @@ def _pert(x, z):
 
 def build(ne: int = 8, p: int = 3, nk: int = 30, dt: float = 75.0, dtype=None,
           el_sharding=None, do_visc: bool = True, **kw):
+    # top Rayleigh sponge on by default: #define RAYLEIGH (4.0/120.0) is
+    # active in the reference vertical solve (eul/VertSolve.cpp:32) and the
+    # 12-day run is unstable without it (lid reflections, blowup ~day 3)
+    kw.setdefault('rayleigh', 4.0 / 120.0)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mesh = cubed_sphere_mesh(ne, radius=A)

@@ -128,3 +128,30 @@ def test_ec_budget_closure_f64():
             assert abs(die - exch) < 5e-4 * abs(die), (i, die, exch)
             assert abs(detot) < 1e-9 * e["ie"], (i, detot, e["ie"])
         e_prev = e
+
+
+def test_run_steps_ec_scan_equivalence():
+    """The scanned chunk runner (one dispatch per dump interval) must
+    reproduce the per-step loop exactly and integrate the exchange powers."""
+    from mimsem_tpu.testcases import bubble
+    eul, st5 = bubble.build(ne=2, p=2, nk=4, dt=0.5)
+    s0 = eul.init_state_ec(*st5[:5])
+    s0, aux0 = eul.step_ec(s0, first=True)
+
+    sa = s0
+    exch = 0.0
+    for _ in range(3):
+        sa, aux = eul.step_ec(sa)
+        exch += eul.dt * float(aux["k2i"] + aux["k2i_z"])
+    sb, auxb = eul.run_steps_ec(s0, 3)
+    # XLA fuses the scanned body differently from the standalone jit, so
+    # agreement is to rounding, not bitwise
+    for a, b in zip(sa, sb):
+        na = np.linalg.norm(np.asarray(a).ravel())
+        d = np.linalg.norm((np.asarray(a) - np.asarray(b)).ravel())
+        # rounding differences amplify through the Newton solve (w is the
+        # sensitive field); the oracle here is the scan WIRING, not numerics
+        assert d <= 1e-8 * max(na, 1.0), d / max(na, 1.0)
+    assert np.isclose(float(auxb["exch_int"]), exch, rtol=1e-6)
+    assert np.allclose(np.asarray(auxb["newton_norms"]),
+                       np.asarray(aux["newton_norms"]))
