@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Held-Suarez idealized-climate production run on TPU.
+
+Reference configuration (eul/HeldSuarez.cpp:25,275-298): NK=16 levels,
+dt=120 s, hs_forcing on (k_T temperature relaxation toward the analytic
+equilibrium + k_v boundary-layer friction), run for O(100) days; the
+diagnostic is the CLIMATOLOGY -- zonal-mean westerly jets in both
+hemispheres (plot with scr/plot_zonal_mean.py over the spun-up window).
+
+Advances through the entropy-conserving Strang_ec path in scanned chunks
+(one dispatch per dump interval) with checkpoint/resume at every dump.
+
+Usage: python demo/run_held_suarez.py [outdir] [ne] [nk] [days] [dt] [dump_hours]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mimsem_tpu.utils import io as mio
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "demo/held_suarez"
+    ne = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    nk = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    days = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+    dt = float(sys.argv[5]) if len(sys.argv) > 5 else 120.0
+    dump_hours = float(sys.argv[6]) if len(sys.argv) > 6 else 24.0
+    nsteps = int(round(days * 86400.0 / dt))
+    dump_every = max(1, min(int(round(dump_hours * 3600.0 / dt)), nsteps // 4))
+    os.makedirs(outdir, exist_ok=True)
+
+    from mimsem_tpu.testcases import held_suarez
+    t0 = time.time()
+    eul, state = held_suarez.build(ne=ne, p=3, nk=nk, dt=dt,
+                                   dtype=jnp.float32)
+    state = eul.init_state_ec(*state[:5])
+    ndofs = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
+    print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs}",
+          flush=True)
+
+    hdr = ["keh", "kev", "pe", "ie", "k2p", "p2k", "k2i", "i2k", "k2i_z",
+           "i2k_z", "mass", "entr"]
+    skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev", "uz_prev")
+    ckpt_path = os.path.join(outdir, "checkpoint.npz")
+    t_run = 0.0
+    if os.path.exists(ckpt_path):
+        cstep, f = mio.load_checkpoint(ckpt_path)
+        state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
+        step = cstep
+        print(f"resumed from {ckpt_path} at step {step}", flush=True)
+    else:
+        t0 = time.time()
+        state, aux = eul.step_ec(state, first=True)
+        jax.block_until_ready(state[0])
+        t_run += time.time() - t0
+        step = 1
+
+    while step < nsteps:
+        chunk = min(dump_every - (step % dump_every) or dump_every,
+                    nsteps - step)
+        t0 = time.time()
+        state, aux = eul.run_steps_ec(state, chunk)
+        jax.block_until_ready(state[0])
+        t_run += time.time() - t0
+        step += chunk
+        if step % dump_every == 0:
+            velx, w, rho, rt, exner = state[:5]
+            e = eul.energetics_ec(velx, w, rho, rt, exner,
+                                  k2i=aux.get("k2i_mean", 0.0),
+                                  k2i_z=aux.get("k2i_z_mean", 0.0))
+            e = {k: float(v) for k, v in e.items()}
+            with open(os.path.join(outdir, "energetics.dat"), "a") as f:
+                cols = [step * dt / 86400.0] + [e[k] for k in hdr]
+                f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+            nn = np.asarray(aux["newton_norms"])
+            print(f"day {step*dt/86400.0:.1f}  {step/max(t_run,1e-9):.2f} "
+                  f"steps/s  newton|dPi| {nn[0]:.2e}  "
+                  f"keh {e['keh']:.4e}", flush=True)
+            dump = step // dump_every
+            mio.write_layers(eul.ops, eul.vo,
+                             dict(rho=("layer", rho), rt=("layer", rt),
+                                  exner=("layer", exner), w=("interface", w),
+                                  theta=("layer",
+                                         eul.vo.diag_theta_l2(rho, rt)),
+                                  u=("u1", velx)), dump, outdir)
+            mio.save_checkpoint(ckpt_path, step, **dict(zip(skeys, state)))
+
+    print(f"\n== {days} day(s), {nsteps} steps, wall {t_run:.0f}s "
+          f"({nsteps/max(t_run,1e-9):.2f} steps/s)", flush=True)
+    with open(os.path.join(outdir, "summary.txt"), "w") as f:
+        f.write(f"ne={ne} nk={nk} days={days} dt={dt} steps={nsteps} "
+                f"wall={t_run:.0f}s steps_per_s={nsteps/max(t_run,1e-9):.3f}\n")
+
+
+if __name__ == "__main__":
+    main()

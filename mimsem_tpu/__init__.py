@@ -24,7 +24,9 @@ import jax as _jax
 # accumulation is effectively free here.  Override with
 # MIMSEM_MATMUL_PRECISION={default,high,highest}.
 _prec = _os.environ.get("MIMSEM_MATMUL_PRECISION", "highest")
-if _prec != "default":
+if _prec != "default" and _jax.config.jax_default_matmul_precision is None:
+    # respect a precision an embedding application already configured (only
+    # force the default when the global config is still unset)
     _jax.config.update("jax_default_matmul_precision", _prec)
 
 from . import basis, mesh, ops

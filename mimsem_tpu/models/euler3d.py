@@ -81,6 +81,10 @@ class Euler3D:
             # the VA mass x {1, 1/2, 1/4}).  Without it, waves reflecting
             # off the rigid lid accumulate and the 12-day UMJS14 run blows
             # up around day 3.
+            if vo.nk < 4:
+                raise ValueError(
+                    f"rayleigh sponge needs >= 3 interior interfaces "
+                    f"(nk >= 4), got nk={vo.nk}; pass rayleigh=0.0")
             prof = np.zeros((vo.nk - 1, 1, 1))
             prof[-1], prof[-2], prof[-3] = 1.0, 0.5, 0.25
             self.ray_prof = jnp.asarray(prof, ops.dtype)
@@ -133,10 +137,16 @@ class Euler3D:
         """rho/theta-weighted layer 1-form mass; hphys (nk, nel, nq) physical."""
         return self._m1k(u, self.thickq * hphys)
 
-    def solve_M1k(self, b):
-        """CG on the thickness-weighted layer mass, block-PC per element."""
+    def solve_M1k(self, b, wq=None, x0=None):
+        """CG on the thickness-weighted layer mass, block-PC per element.
+
+        `wq` overrides the per-level quad weights (leading dim must match b --
+        stacking several gradient/flux systems into ONE batched CG shares the
+        while_loop and its reduction kernels, the dominant launch-latency
+        cost).  `x0` warm-starts (Newton iterates change little between
+        iterations, cutting CG depth severalfold)."""
         ops = self.ops
-        tq = self.thickq
+        tq = self.thickq if wq is None else wq
         def mv(u):
             return self._m1k(u, tq)
         def pc(r):
@@ -146,7 +156,8 @@ class Euler3D:
             out = jnp.einsum('eij,lej->lei', ops.M1blkinv, vl) * scale[:, None, None]
             return jax.vmap(ops.scatter1)(out)
         dot = lambda a, b_: jnp.vdot(a * ops.wdot1[None, :], b_)
-        return solvers.cg(mv, b, pc=pc, tol=self.mass_tol, maxiter=200, dot=dot)
+        return solvers.cg(mv, b, pc=pc, x0=x0, tol=self.mass_tol, maxiter=200,
+                          dot=dot)
 
     def apply_M2k(self, x):
         """Layer 2-form mass = vertical VB: proj(x_phys)."""
@@ -161,6 +172,13 @@ class Euler3D:
     def grad_k(self, x2):
         """Weak layer gradient M1k^-1 E12 M2k x."""
         return self.solve_M1k(self.e12k(self.apply_M2k(x2)))
+
+    def grad_k2(self, x2a, x2b):
+        """Two weak layer gradients in ONE batched CG (shared while_loop)."""
+        b = jnp.concatenate([self.e12k(self.apply_M2k(x2a)),
+                             self.e12k(self.apply_M2k(x2b))], 0)
+        g = self.solve_M1k(b, wq=jnp.concatenate([self.thickq] * 2, 0))
+        return g[:self.nk], g[self.nk:]
 
     def curl_k(self, u):
         ops = self.ops
@@ -291,6 +309,21 @@ class Euler3D:
         b = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
         return self._solve_m1_int(b, tint * rint)
 
+    def shear_grad_pot(self, u, w, rho):
+        """dudz_pot and grad_int_pot fused into ONE batched interface mass
+        solve -- both systems carry the SAME rho-weighted interface metric, so
+        stacking them halves the launch-latency-bound CG count."""
+        ops, vo = self.ops, self.vo
+        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
+        bw = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
+        wq = tint * rint
+        x = self._solve_m1_int(jnp.concatenate([du, bw], 0),
+                               jnp.concatenate([wq, wq], 0))
+        return x[:self.nk - 1], x[self.nk - 1:]
+
     def _solve_m1_int(self, b, wq):
         """Batched interface 1-form mass solves with quad weights wq."""
         ops = self.ops
@@ -322,22 +355,36 @@ class Euler3D:
         with theta the LAYER potential temperature
         (HorizSolve::advection_rhs_ec, eul/HorizSolve.cpp:380-417).
         Returns (dF_weak, dG_weak, F)."""
-        vo = self.vo
+        dF, dG, F, _ = self._advection_rhs_ec_ws(u1, u2, rho1, rho2, theta_l2)
+        return dF, dG, F
+
+    def _advection_rhs_ec_ws(self, u1, u2, rho1, rho2, theta_l2, ws=None):
+        """advection_rhs_ec with CG warm starts `ws` = (F0, dTh0, G0) carried
+        across Newton iterations (iterates move little, so warm-started CG
+        re-converges in a few iterations).  The flux and theta-gradient
+        systems stack into ONE batched CG; the 4 rho-weighted masses collapse
+        to 2 locals sharing one DSS (weight linearity)."""
+        vo, nk = self.vo, self.nk
         r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
         thp = vo.phys_layer(theta_l2)
-        b = (self.apply_M1hk(u1, r1p) / 3.0 + self.apply_M1hk(u2, r1p) / 6.0
-             + self.apply_M1hk(u1, r2p) / 6.0 + self.apply_M1hk(u2, r2p) / 3.0)
-        F = self.solve_M1k(b)
-        G = self.solve_M1k(self.apply_M1hk(F, thp))
+        b = self.scatter1k(
+            self._m1k_local(u1, self.thickq * (r1p / 3.0 + r2p / 6.0))
+            + self._m1k_local(u2, self.thickq * (r1p / 6.0 + r2p / 3.0)))
+        bth = self.e12k(self.apply_M2k(theta_l2))
+        F0, dTh0, G0 = (None, None, None) if ws is None else ws
+        x0 = None if ws is None else jnp.concatenate([F0, dTh0], 0)
+        x = self.solve_M1k(jnp.concatenate([b, bth], 0),
+                           wq=jnp.concatenate([self.thickq] * 2, 0), x0=x0)
+        F, dTh = x[:nk], x[nk:]
+        G = self.solve_M1k(self.apply_M1hk(F, thp), x0=G0)
         chiVB = vo.chi_VB()
         dF = vo.apply_w(chiVB, self.e21k(F))
         dG = 0.5 * vo.apply_w(chiVB, self.e21k(G)) \
             + 0.5 * vo.apply_w(vo.chi_VB_rho(theta_l2), self.e21k(F))
-        dTh = self.grad_k(theta_l2)
         dThp = jax.vmap(self.ops.interp1_phys)(dTh)
         Fp = jax.vmap(self.ops.interp1_phys)(F)
         dG = dG + vo.proj(0.5 * jnp.sum(dThp * Fp, axis=-1))
-        return dF, dG, F
+        return dF, dG, F, (F, dTh, G)
 
     def momentum_rhs_ec(self, theta_l2, uz1, uz2, w1, w2, exner,
                         u1, u2, rho1, rho2, Fz, dwdx1, dwdx2):
@@ -371,8 +418,7 @@ class Euler3D:
         # - 1/2 Pi grad(theta) + 1/2 grad(Pi theta)
         thp = vo.phys_layer(theta_l2)
         pip = vo.phys_layer(exner)
-        dPi = self.grad_k(exner)
-        dTh = self.grad_k(theta_l2)
+        dPi, dTh = self.grad_k2(exner, theta_l2)
         t1 = self._m1k_local(dPi, 0.5 * self.thickq * thp)
         t2 = self._m1k_local(dTh, -0.5 * self.thickq * pip)
         prod = vo.apply_w(vo.chi_VB_rho(exner), theta_l2)
@@ -431,24 +477,33 @@ class Euler3D:
                         vo.apply_w(vo.chi_VA_theta(tint), Fz))
         return fw, Fz, Gz, gradpi
 
-    def _tridiag_thomas(self, lo, di, up, b):
-        """Batched block-tridiagonal solve over the layer axis.
-        lo/di/up: (nk, nel, n2, n2) with lo[0] and up[-1] ignored; b (nk, nel, n2)."""
-        nk = self.nk
-
-        def fwd(carry, inputs):
-            Cp, Dp = carry
-            lo_k, di_k, up_k, b_k = inputs
-            denom = di_k - jnp.einsum('nij,njk->nik', lo_k, Cp)
-            dinv = inv_small(denom)
+    def _tridiag_factor(self, lo, di, up):
+        """Block-Thomas forward factorization of a block-tridiagonal system
+        over the layer axis.  lo/di/up: (nk, nel, n2, n2) with lo[0] and
+        up[-1] ignored.  Returns (Cs, dinvs) reused across solves -- the
+        factorization carries nk SEQUENTIAL Gauss-Jordan inverses, so with a
+        lagged (quasi-Newton) Jacobian it is hoisted out of the Newton loop
+        and only the cheap sweeps below run per iteration."""
+        def fwd(Cp, inputs):
+            lo_k, di_k, up_k = inputs
+            dinv = inv_small(di_k - jnp.einsum('nij,njk->nik', lo_k, Cp))
             Cn = jnp.einsum('nij,njk->nik', dinv, up_k)
-            Dn = jnp.einsum('nij,nj->ni', dinv,
-                            b_k - jnp.einsum('nij,nj->ni', lo_k, Dp))
-            return (Cn, Dn), (Cn, Dn)
+            return Cn, (Cn, dinv)
 
-        z_C = jnp.zeros_like(di[0])
-        z_D = jnp.zeros_like(b[0])
-        _, (Cs, Ds) = jax.lax.scan(fwd, (z_C, z_D), (lo, di, up, b))
+        _, (Cs, dinvs) = jax.lax.scan(fwd, jnp.zeros_like(di[0]),
+                                      (lo, di, up))
+        return Cs, dinvs
+
+    def _tridiag_apply(self, lo, Cs, dinvs, b):
+        """Forward/backward sweeps of a factored block-tridiagonal solve
+        (matvec-only; no inverses)."""
+        def fwd(Dp, inputs):
+            lo_k, dinv_k, b_k = inputs
+            Dn = jnp.einsum('nij,nj->ni', dinv_k,
+                            b_k - jnp.einsum('nij,nj->ni', lo_k, Dp))
+            return Dn, Dn
+
+        _, Ds = jax.lax.scan(fwd, jnp.zeros_like(b[0]), (lo, dinvs, b))
 
         def bwd(x_next, inputs):
             C_k, D_k = inputs
@@ -458,15 +513,72 @@ class Euler3D:
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (Cs, Ds), reverse=True)
         return xs
 
+    def _tridiag_thomas(self, lo, di, up, b):
+        """Batched block-tridiagonal solve (factor + sweeps)."""
+        Cs, dinvs = self._tridiag_factor(lo, di, up)
+        return self._tridiag_apply(lo, Cs, dinvs, b)
+
     def vert_solve(self, w_i, rho_i, rt_i, pi_i, dFx_fn, uuz=None,
                    rt_forcing_fn=None):
         """Newton iterations of the vertical implicit solve (solve_schur_2,
         box/VertSolve.cpp:1264-1458).  dFx_fn(rho_j) -> (dFx, dGx) recomputes
-        the horizontal forcing each iteration (:1332-1333)."""
+        the horizontal forcing each iteration (:1332-1333).
+
+        Chord (quasi-Newton) structure as in vert_solve_eta: the linearized
+        blocks and the block-tridiagonal Thomas factorization are assembled
+        ONCE at the initial state (== the first iteration's half state) and
+        reused; the residuals stay exact per iteration, preserving the
+        converged state."""
         vo, dt, nk = self.vo, self.dt, self.nk
         chiVB = vo.chi_VB()
-        VB = vo.wblk(chiVB)
-        VAinv = vo.VA_inv_blocks()
+        VB = vo.VB_blk
+        VAinv = vo.VAinv_blk
+        mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
+        mvp = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
+        dtf = 0.5 * dt
+
+        # ---- lagged linearization (initial state) ----
+        theta_0 = vo.diag_theta(rho_i, rt_i,
+                                w=w_i if self.theta_tau else None,
+                                tau=self.theta_tau)
+        M_u_chi = vo.chi_VA()
+        if self.rayleigh:
+            M_u_inv = inv_small(vo.wblk(M_u_chi * (
+                1.0 + 0.5 * dt * self.rayleigh * self.ray_prof)))
+        else:
+            M_u_inv = vo.VAinv_blk
+        N_pi_inv = inv_small(vo.n_pi_blocks(pi_i))
+        N_rt = vo.n_rt_blocks(rt_i)
+        # G_pi: interfaces x layers, bands {0, +1}: 0.5 dt VA(theta) VA^-1 V01 VB
+        VAth = vo.wblk(vo.chi_VA_theta(theta_0[1:-1]))
+        A_ = mm(VAth, VAinv)                              # (nk-1,...)
+        Gpi_lo = -dtf * mm(A_, VB[:-1])                   # col = i
+        Gpi_up = +dtf * mm(A_, VB[1:])                    # col = i+1
+        # G_rt: 0.5 dt VAB(gradpi) VB(rho)^-1 VB  (bands {0,+1})
+        VBrinv = inv_small(vo.wblk(vo.chi_VB_rho(rho_i)))
+        Br = mm(VBrinv, VB)                               # (nk, ...)
+        gq = vo.interp(vo.grad_z(pi_i, VAinv)) / vo.det   # gradpi_phys (nk-1,..)
+        Wg = vo.wblk(0.5 * gq / vo.det)                   # (nk-1, nel, n2, n2)
+        Grt_lo = dtf * mm(Wg, Br[:-1])
+        Grt_up = dtf * mm(Wg, Br[1:])
+        # combine: Gcomb = G_rt - G_pi N_pi^-1 N_rt  (cols are layers)
+        NpiNrt = mm(N_pi_inv, N_rt)
+        Gc_lo = Grt_lo - mm(Gpi_lo, NpiNrt[:-1])
+        Gc_up = Grt_up - mm(Gpi_up, NpiNrt[1:])
+        # D_rt: layers x interfaces, bands {-1, 0}: 0.5 dt VB(rt) V10
+        VBrt = vo.wblk(vo.chi_VB_rho(rt_i))
+        # L = M_rt - Dcomb M_u^-1 Gcomb  (tridiagonal in layers; Q_rt_rho
+        # lagged, see module docstring)
+        MuG_lo = mm(M_u_inv, Gc_lo)                       # (nk-1,..) col=i
+        MuG_up = mm(M_u_inv, Gc_up)                       # col=i+1
+        zero = jnp.zeros_like(VB[:1])
+        diag = VB - dtf * jnp.concatenate([
+            mm(VBrt[:-1], MuG_lo), zero], 0) \
+            + dtf * jnp.concatenate([zero, mm(VBrt[1:], MuG_up)], 0)
+        up = jnp.concatenate([-dtf * mm(VBrt[:-1], MuG_up), zero], 0)
+        lo = jnp.concatenate([zero, +dtf * mm(VBrt[1:], MuG_lo)], 0)
+        Cs, dinvs = self._tridiag_factor(lo, diag, up)
+        Rnu = mm(VAinv, vo.wblk(vo.chi_VA_rho(rho_i)))
 
         def newton(state, _):
             w_j, rho_j, rt_j, pi_j = state
@@ -477,7 +589,6 @@ class Euler3D:
             pi_h = 0.5 * (pi_i + pi_j)
             rho_h = 0.5 * (rho_i + rho_j)
             rt_h = 0.5 * (rt_i + rt_j)
-            w_h = 0.5 * (w_i + w_j)
 
             dFx, dGx, _ = dFx_fn(rho_j)
 
@@ -511,88 +622,27 @@ class Euler3D:
             if rt_forcing_fn is not None:
                 F_rt = F_rt + dt * rt_forcing_fn(rho_h, rt_h, pi_h, theta_h)
 
-            # ---- linearized blocks (at the half state) ----
-            M_u_chi = vo.chi_VA()
-            if self.rayleigh:
-                M_u_inv = inv_small(vo.wblk(M_u_chi * (
-                    1.0 + 0.5 * dt * self.rayleigh * self.ray_prof)))
-            else:
-                M_u_inv = inv_small(vo.wblk(M_u_chi))
-            N_pi_inv = inv_small(vo.n_pi_blocks(pi_h))
-            N_rt = vo.n_rt_blocks(rt_h)
-
-            # G_pi: interfaces x layers, bands {0, +1}:
-            #   0.5 dt VA(theta) VA^-1 V01 VB
-            VAth = vo.wblk(vo.chi_VA_theta(theta_h[1:-1]))
-            A_ = jnp.einsum('lnij,lnjk->lnik', VAth, VAinv)  # (nk-1,...)
-            Gpi_lo = -0.5 * dt * jnp.einsum('lnij,lnjk->lnik', A_, VB[:-1])  # col = i
-            Gpi_up = +0.5 * dt * jnp.einsum('lnij,lnjk->lnik', A_, VB[1:])   # col = i+1
-
-            # G_rt: 0.5 dt VAB(gradpi) VB(rho)^-1 VB  (bands {0,+1})
-            VBrinv = inv_small(vo.wblk(vo.chi_VB_rho(rho_h)))
-            Br = jnp.einsum('lnij,lnjk->lnik', VBrinv, VB)   # (nk, ...)
-            # VAB(gradpi)[i,k] = Wblk(0.5 gradpi_phys_i / det) for k in {i, i+1}
-            gq = vo.interp(gradpi) / vo.det                  # gradpi_phys (nk-1,..)
-            Wg = vo.wblk(0.5 * gq / vo.det)                  # (nk-1, nel, n2, n2)
-            Grt_lo = 0.5 * dt * jnp.einsum('lnij,lnjk->lnik', Wg, Br[:-1])
-            Grt_up = 0.5 * dt * jnp.einsum('lnij,lnjk->lnik', Wg, Br[1:])
-
-            # combine: Gcomb = G_rt - G_pi N_pi^-1 N_rt  (cols are layers)
-            NpiNrt = jnp.einsum('lnij,lnjk->lnik', N_pi_inv, N_rt)
-            Gc_lo = Grt_lo - jnp.einsum('lnij,lnjk->lnik', Gpi_lo, NpiNrt[:-1])
-            Gc_up = Grt_up - jnp.einsum('lnij,lnjk->lnik', Gpi_up, NpiNrt[1:])
-
-            # D_rt: layers x interfaces, bands {-1, 0}: 0.5 dt VB(rt) V10
-            VBrt = vo.wblk(vo.chi_VB_rho(rt_h))
-            # (V10 w)[k] = w[k] - w[k-1]: D[k, i=k] = +VBrt[k], D[k, i=k-1] = -VBrt[k]
-            # rows k=0..nk-1, valid i in 0..nk-2
-
-            # L = M_rt - Dcomb M_u^-1 Gcomb  (tridiagonal in layers)
-            # Dcomb = D_rt (Q_rt_rho lagged; see module docstring)
-            # L[k, m] = VB[k] delta_km
-            #   - sum_i D[k,i] Mu^-1[i] Gc[i,m]
-            MuG_lo = jnp.einsum('lnij,lnjk->lnik', M_u_inv, Gc_lo)  # (nk-1,..) col=i
-            MuG_up = jnp.einsum('lnij,lnjk->lnik', M_u_inv, Gc_up)  # col=i+1
-            dtf = 0.5 * dt
-            zero = jnp.zeros_like(VB[:1])
-            # diagonal: -[ +VBrt[k] MuG_lo[k] (i=k,m=k)  - VBrt[k] MuG_up[k-1] (i=k-1,m=k) ]
-            diag = VB - dtf * jnp.concatenate([
-                jnp.einsum('lnij,lnjk->lnik', VBrt[:-1], MuG_lo), zero], 0) \
-                + dtf * jnp.concatenate([zero,
-                jnp.einsum('lnij,lnjk->lnik', VBrt[1:], MuG_up)], 0)
-            # upper: m=k+1: -[ +VBrt[k] MuG_up[k] ]
-            up = jnp.concatenate([
-                -dtf * jnp.einsum('lnij,lnjk->lnik', VBrt[:-1], MuG_up), zero], 0)
-            # lower: m=k-1: -[ -VBrt[k] MuG_lo[k-1] ]
-            lo = jnp.concatenate([zero,
-                +dtf * jnp.einsum('lnij,lnjk->lnik', VBrt[1:], MuG_lo)], 0)
-
-            # ---- reduce residuals ----
-            FpiN = jnp.einsum('lnij,lnj->lni', N_pi_inv, F_pi)
-            Fu_p = F_w - (jnp.einsum('lnij,lnj->lni', Gpi_lo, FpiN[:-1])
-                          + jnp.einsum('lnij,lnj->lni', Gpi_up, FpiN[1:]))
-            MuF = jnp.einsum('lnij,lnj->lni', M_u_inv, Fu_p)
+            # ---- reduce residuals (hoisted blocks) ----
+            FpiN = mvp(N_pi_inv, F_pi)
+            Fu_p = F_w - (mvp(Gpi_lo, FpiN[:-1]) + mvp(Gpi_up, FpiN[1:]))
+            MuF = mvp(M_u_inv, Fu_p)
             # F_rt'' = F_rt - D M_u^-1 F_u'
             DMuF = dtf * (jnp.concatenate([
-                jnp.einsum('lnij,lnj->lni', VBrt[:-1], MuF), zero[..., 0]], 0)
-                - jnp.concatenate([zero[..., 0],
-                jnp.einsum('lnij,lnj->lni', VBrt[1:], MuF)], 0))
+                mvp(VBrt[:-1], MuF), zero[..., 0]], 0)
+                - jnp.concatenate([zero[..., 0], mvp(VBrt[1:], MuF)], 0))
             F_rt2 = F_rt - DMuF
 
-            d_rt = self._tridiag_thomas(lo, diag, up, -F_rt2)
+            d_rt = self._tridiag_apply(lo, Cs, dinvs, -F_rt2)
 
             # ---- back substitution ----
-            Gc_drt = (jnp.einsum('lnij,lnj->lni', Gc_lo, d_rt[:-1])
-                      + jnp.einsum('lnij,lnj->lni', Gc_up, d_rt[1:]))
-            d_w = -jnp.einsum('lnij,lnj->lni', M_u_inv, Fu_p + Gc_drt)
-            d_pi = -jnp.einsum('lnij,lnj->lni', N_pi_inv,
-                               F_pi + jnp.einsum('lnij,lnj->lni', N_rt, d_rt))
+            Gc_drt = mvp(Gc_lo, d_rt[:-1]) + mvp(Gc_up, d_rt[1:])
+            d_w = -mvp(M_u_inv, Fu_p + Gc_drt)
+            d_pi = -mvp(N_pi_inv, F_pi + mvp(N_rt, d_rt))
             # rho: VB d_rho = -(F_rho + D_rho d_w),
-            # D_rho = 0.5 dt VB V10 VA^-1 VA(rho)
-            rw = jnp.einsum('lnij,lnj->lni', VAinv,
-                            vo.apply_w(vo.chi_VA_rho(rho_h), d_w))
-            d_rho = -jnp.einsum('lnij,lnj->lni', inv_small(VB),
-                                F_rho + dtf * vo.apply_w(chiVB, vo.v10(rw)))
+            # D_rho = 0.5 dt VB V10 VA^-1 VA(rho); Rnu lagged at rho_i
+            rw = mvp(Rnu, d_w)
+            d_rho = -mvp(vo.VBinv_blk,
+                         F_rho + dtf * vo.apply_w(chiVB, vo.v10(rw)))
 
             d = self.ops.dtype
             return ((w_j + d_w).astype(d), (rho_j + d_rho).astype(d),
@@ -655,26 +705,89 @@ class Euler3D:
 
         Returns (w, rho, rt, pi, theta_l2_h, aux) with aux carrying the
         k2i_z exchange power and the final increment max-norms (the
-        reference's 1e-12 convergence monitors, :1915-1928)."""
+        reference's 1e-12 convergence monitors, :1915-1928).
+
+        Quasi-Newton (chord) structure: ALL linearization blocks -- including
+        the block-tridiagonal Helmholtz factorization, whose forward
+        elimination is nk sequential Gauss-Jordan inverses -- are assembled
+        ONCE at the initial state (identical to the first iteration's half
+        state, since w_j = w_i there) and reused by every iteration.  The
+        residuals stay exact at the current half state, so the converged
+        state is unchanged (same argument as the lagged Q_rt_rho block,
+        module docstring; the reference instead rebuilds ~70 PETSc mats per
+        iteration, eul/VertSolve.cpp:1760-1797).  The per-iteration work
+        reduces to residual assembly + banded sweeps + two small exact
+        state-reconstruction inverses."""
         vo, dt, nk = self.vo, self.dt, self.nk
         rdcv = RD / CV
         chiVB = vo.chi_VB()
-        VB = vo.wblk(chiVB)
-        VBinv = inv_small(VB)
-        VAinv = vo.VA_inv_blocks()
-        VA = vo.wblk(vo.chi_VA())
+        VB = vo.VB_blk
+        VBinv = vo.VBinv_blk
+        VAinv = vo.VAinv_blk
         # the lumped w-block of the Jacobian carries the Rayleigh sponge term
         # (AssembleLinearWithRayleighInv, eul/VertSolve.cpp:519-520); the
         # residual itself adds it in vert_residual_ec
-        VA_jac = VA if not self.rayleigh else vo.wblk(
+        VA_jac = vo.wblk(vo.chi_VA()) if not self.rayleigh else vo.wblk(
             vo.chi_VA() * (1.0 + 0.5 * self.dt * self.rayleigh
                            * self.ray_prof))
         if newton_iters is None:
             newton_iters = self.newton_iters
+        mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
+        mv = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
+        hdt = 0.5 * dt
+
+        # ================= lagged linearization (initial state) =================
+        VBrt_inv = inv_small(vo.wblk(vo.chi_VB_rho(rt_i)))
+        VBrho_inv = inv_small(vo.wblk(vo.chi_VB_rho(rho_i)))
+        th_W3 = jnp.einsum('lnij,lnj->lni', VBrho_inv,
+                           vo.apply_w(chiVB, rt_i))
+        eta_0 = vo.log_theta_plus_eta(th_W3)
+        thp = vo.phys_layer(th_W3)
+        gradpi = vo.grad_z(pi_i, VAinv)
+        dPip = vo.phys_int(gradpi)
+        gradeta = vo.grad_z(eta_0, VAinv)
+        dEtap = vo.phys_int(gradeta)
+
+        # G_eta[i,k], k in {i, i+1}: 0.5 dt wblk(0.5 dPi_i theta_k / det)
+        Ge_lo = hdt * vo.wblk(0.5 * dPip * thp[:-1] / vo.det)
+        Ge_up = hdt * vo.wblk(0.5 * dPip * thp[1:] / vo.det)
+        # G_pi[i,m]: 0.5 dt VA(theta) VA^-1 V01 VB
+        A_ = mm(vo.wblk(vo.chi_VA_rho(th_W3)), VAinv)
+        Gp_lo = -hdt * mm(A_, VB[:-1])
+        Gp_up = +hdt * mm(A_, VB[1:])
+        # D_rho row blocks: +-0.5 dt VB[k] (VA^-1 VA(rho))[i]
+        Rnu = mm(VAinv, vo.wblk(vo.chi_VA_rho(rho_i)))
+        # A_eta row blocks: 0.5 dt wblk(0.5 dEta_i / det)
+        Wd = hdt * vo.wblk(0.5 * dEtap / vo.det)
+        # EOS blocks
+        N_pi = vo.eos_block(pi_i)
+        N_rho = vo.eos_block(rho_i)
+        CrVBi = mm(N_rho, VBinv)
+
+        # lumped w-block: L_eta[i,i] = VA[i] - Ge_lo VBinv[i] Wd[i]
+        #                              - Ge_up VBinv[i+1] Wd[i]
+        L_eta_d = VA_jac - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
+            - mm(Ge_up, mm(VBinv[1:], Wd))
+        Mw_inv = inv_small(L_eta_d)
+
+        # pc_DIV row blocks (layers k): i=k ('hi', k<=nk-2) and i=k-1 ('lo')
+        zero = jnp.zeros_like(VB[:1])
+        D_hi = +hdt * mm(VB[:-1], Rnu)                 # rows k=0..nk-2
+        D_lo = -hdt * mm(VB[1:], Rnu)                  # rows k=1..nk-1
+        PD_hi = mm(mm(CrVBi[:-1], D_hi) + Wd, Mw_inv)  # (nk-1,...) row k=i
+        PD_lo = mm(mm(CrVBi[1:], D_lo) + Wd, Mw_inv)   # (nk-1,...) row k=i+1
+
+        # Helmholtz operator L_pi (block-tridiagonal over layers), factored
+        # ONCE: per iteration only the forward/backward sweeps run
+        diag = N_pi - rdcv * (
+            jnp.concatenate([zero, mm(PD_lo, Gp_up)], 0)
+            + jnp.concatenate([mm(PD_hi, Gp_lo), zero], 0))
+        lower = -rdcv * jnp.concatenate([zero, mm(PD_lo, Gp_lo)], 0)
+        upper = -rdcv * jnp.concatenate([mm(PD_hi, Gp_up), zero], 0)
+        Cs, dinvs = self._tridiag_factor(lower, diag, upper)
 
         def newton(state, _):
-            w_j, rho_j, rt_j, pi_j = state
-            w_h = 0.5 * (w_i + w_j)
+            w_j, rho_j, rt_j, pi_j, ws = state
             rho_h = 0.5 * (rho_i + rho_j)
             rt_h = 0.5 * (rt_i + rt_j)
             pi_h = 0.5 * (pi_i + pi_j)
@@ -682,8 +795,8 @@ class Euler3D:
             theta_l2_h = 0.5 * (theta_l2_i + theta_l2_j)
 
             # horizontal forcing recomputed every Newton iteration
-            # (eul/VertSolve.cpp:1798-1799)
-            dFx, dGx = dFx_fn(rho_j, theta_l2_h)
+            # (eul/VertSolve.cpp:1798-1799), warm-started CG
+            dFx, dGx, ws = dFx_fn(rho_j, theta_l2_h, ws)
 
             # ---- residuals (exact, at the half state) ----
             F_w, Fz, Gz, f_corr, k2i_z = self.vert_residual_ec(
@@ -697,65 +810,11 @@ class Euler3D:
 
             # entropy residual from the Theta and rho residuals
             # (eul/VertSolve.cpp:1840-1846): F_eta = VB [VB(rt)^-1 F_rt
-            # - VB(rho)^-1 F_rho]
-            VBrt_inv = inv_small(vo.wblk(vo.chi_VB_rho(rt_h)))
-            VBrho_inv = inv_small(vo.wblk(vo.chi_VB_rho(rho_h)))
+            # - VB(rho)^-1 F_rho]; lagged weights preserve the fixed point
+            # (F_rt = F_rho = 0 => F_eta = 0 for any invertible weighting)
             F_eta = jnp.einsum('lnij,lnj->lni', VB,
                                jnp.einsum('lnij,lnj->lni', VBrt_inv, F_rt)
                                - jnp.einsum('lnij,lnj->lni', VBrho_inv, F_rho))
-
-            # theta_h in W3 and eta_h (:1848-1857)
-            th_W3 = jnp.einsum('lnij,lnj->lni', VBrho_inv,
-                               vo.apply_w(chiVB, rt_h))
-            eta_h = vo.log_theta_plus_eta(th_W3)
-
-            # ---- linearized blocks ----
-            thp = vo.phys_layer(th_W3)
-            gradpi = vo.grad_z(pi_h, VAinv)
-            dPip = vo.phys_int(gradpi)
-            gradeta = vo.grad_z(eta_h, VAinv)
-            dEtap = vo.phys_int(gradeta)
-            hdt = 0.5 * dt
-
-            # G_eta[i,k], k in {i, i+1}: 0.5 dt wblk(0.5 dPi_i theta_k / det)
-            Ge_lo = hdt * vo.wblk(0.5 * dPip * thp[:-1] / vo.det)
-            Ge_up = hdt * vo.wblk(0.5 * dPip * thp[1:] / vo.det)
-            # G_pi[i,m]: 0.5 dt VA(theta) VA^-1 V01 VB
-            A_ = jnp.einsum('lnij,lnjk->lnik', vo.wblk(vo.chi_VA_rho(th_W3)),
-                            VAinv)
-            Gp_lo = -hdt * jnp.einsum('lnij,lnjk->lnik', A_, VB[:-1])
-            Gp_up = +hdt * jnp.einsum('lnij,lnjk->lnik', A_, VB[1:])
-            # D_rho row blocks: +-0.5 dt VB[k] (VA^-1 VA(rho))[i]
-            Rnu = jnp.einsum('lnij,lnjk->lnik', VAinv,
-                             vo.wblk(vo.chi_VA_rho(rho_h)))
-            # A_eta row blocks: 0.5 dt wblk(0.5 dEta_i / det)
-            Wd = hdt * vo.wblk(0.5 * dEtap / vo.det)
-            # EOS blocks
-            N_pi = vo.eos_block(pi_h)
-            N_rho = vo.eos_block(rho_h)
-            CrVBi = jnp.einsum('lnij,lnjk->lnik', N_rho, VBinv)
-
-            # lumped w-block: L_eta[i,i] = VA[i] - Ge_lo VBinv[i] Wd[i]
-            #                              - Ge_up VBinv[i+1] Wd[i]
-            mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
-            mv = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
-            L_eta_d = VA_jac - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
-                - mm(Ge_up, mm(VBinv[1:], Wd))
-            Mw_inv = inv_small(L_eta_d)
-
-            # pc_DIV row blocks (layers k): i=k ('hi', k<=nk-2) and i=k-1 ('lo')
-            zero = jnp.zeros_like(VB[:1])
-            D_hi = +hdt * mm(VB[:-1], Rnu)                 # rows k=0..nk-2
-            D_lo = -hdt * mm(VB[1:], Rnu)                  # rows k=1..nk-1
-            PD_hi = mm(mm(CrVBi[:-1], D_hi) + Wd, Mw_inv)  # (nk-1,...) row k=i
-            PD_lo = mm(mm(CrVBi[1:], D_lo) + Wd, Mw_inv)   # (nk-1,...) row k=i+1
-
-            # Helmholtz operator L_pi (block-tridiagonal over layers)
-            diag = N_pi - rdcv * (
-                jnp.concatenate([zero, mm(PD_lo, Gp_up)], 0)
-                + jnp.concatenate([mm(PD_hi, Gp_lo), zero], 0))
-            lower = -rdcv * jnp.concatenate([zero, mm(PD_lo, Gp_lo)], 0)
-            upper = -rdcv * jnp.concatenate([mm(PD_hi, Gp_up), zero], 0)
 
             # ---- residual reduction ----
             VBiFe = mv(VBinv, F_eta)
@@ -764,7 +823,7 @@ class Euler3D:
             PDF = (jnp.concatenate([zr, mv(PD_lo, F_u1)], 0)
                    + jnp.concatenate([mv(PD_hi, F_u1), zr], 0))
             rhs_pi = -F_pi + rdcv * (PDF - mv(CrVBi, F_rho) - F_eta)
-            d_pi = self._tridiag_thomas(lower, diag, upper, rhs_pi)
+            d_pi = self._tridiag_apply(lower, Cs, dinvs, rhs_pi)
 
             # ---- back substitution ----
             F_u2 = -(F_u1 + mv(Gp_lo, d_pi[:-1]) + mv(Gp_up, d_pi[1:]))
@@ -775,7 +834,8 @@ class Euler3D:
             DrDw = hdt * vo.apply_w(chiVB, vo.v10(mv(Rnu, d_w)))
             d_rho = -mv(VBinv, F_rho + DrDw)
 
-            # eta update + Theta back-substitution (:1858-1873)
+            # eta update + Theta back-substitution (:1858-1873) -- the state
+            # reconstruction stays EXACT (fresh inverse at rho_j)
             th_j_W3 = jnp.einsum(
                 'lnij,lnj->lni',
                 inv_small(vo.wblk(vo.chi_VB_rho(rho_j))),
@@ -792,12 +852,13 @@ class Euler3D:
                 jnp.max(jnp.abs(b)), 1e-30))
             norms = jnp.stack([mx(d_pi, pi_n), mx(d_w, w_n),
                                mx(d_rho, rho_n), mx(d_eta, eta_j)])
-            return (w_n, rho_n, rt_n, pi_n), (norms, k2i_z)
+            return (w_n, rho_n, rt_n, pi_n, ws), (norms, k2i_z)
 
-        state = (w_i, rho_i, rt_i, pi_i)
+        zf = jnp.zeros((nk, self.ops.ln1), self.ops.dtype)
+        state = (w_i, rho_i, rt_i, pi_i, (zf, zf, zf))
         state, (norms, k2i_z) = jax.lax.scan(newton, state, None,
                                              length=newton_iters)
-        w_j, rho_j, rt_j, pi_j = state
+        w_j, rho_j, rt_j, pi_j, _ = state
         theta_l2_h = 0.5 * (theta_l2_i + vo.diag_theta_l2(rho_j, rt_j))
         aux = dict(newton_norms=norms[-1], k2i_z=k2i_z[-1])
         return w_j, rho_j, rt_j, pi_j, theta_l2_h, aux
@@ -997,9 +1058,8 @@ class Euler3D:
         VAinv = vo.VA_inv_blocks()
 
         # --- 1. explicit horizontal predictor (all at state 0)
-        uz0 = self.dudz_pot(velx, rho)
+        uz0, dwdx1 = self.shear_grad_pot(velx, w, rho)
         uz_prev = jnp.where(first, uz0, uz_prev)
-        dwdx1 = self.grad_int_pot(w, rho)
         Fz1 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
         fu0, _ = self.momentum_rhs_ec(theta_l2_i, uz0, uz0, w, w, exner,
                                       velx, velx, rho, rho, Fz1, dwdx1, dwdx1)
@@ -1008,13 +1068,13 @@ class Euler3D:
         bu = jnp.where(first,
                        self.apply_M1k(velx) - dt * fu0,
                        self.apply_M1k(velx_prev) - 2.0 * dt * fu0)
-        velx_1 = self.solve_M1k(bu)
+        velx_1 = self.solve_M1k(bu, x0=velx)
 
         # --- 2. implicit entropy-variable vertical solve
-        def dFx_fn(rho_j, theta_l2_h):
-            dF, dG, _ = self.advection_rhs_ec(velx, velx_1, rho, rho_j,
-                                              theta_l2_h)
-            return dF, dG
+        def dFx_fn(rho_j, theta_l2_h, ws):
+            dF, dG, _, ws = self._advection_rhs_ec_ws(velx, velx_1, rho,
+                                                      rho_j, theta_l2_h, ws)
+            return dF, dG, ws
         rt_forcing = None
         if self.hs_forcing:
             def rt_forcing(rho_h, rt_h, pi_h):
@@ -1025,15 +1085,14 @@ class Euler3D:
 
         # --- 3. explicit horizontal corrector (dt, half states)
         pi_h = 0.5 * (exner + pi_j)
-        uz_new = self.dudz_pot(velx_1, rho_j)
-        dwdx2 = self.grad_int_pot(w_j, rho_j)
+        uz_new, dwdx2 = self.shear_grad_pot(velx_1, w_j, rho_j)
         Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
         fu, k2i_parts = self.momentum_rhs_ec(theta_l2_h, uz_new, uz_prev,
                                              w_j, w, pi_h, velx, velx_1,
                                              rho, rho_j, Fz, dwdx1, dwdx2)
         if self.hs_forcing:
             fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
-        velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu)
+        velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu, x0=velx_1)
 
         d = self.ops.dtype
         state = (velx_2.astype(d), w_j.astype(d), rho_j.astype(d),
@@ -1077,6 +1136,14 @@ class Euler3D:
         k2i_z, i2k_z, mass, entr.  i2k and i2k_z are written as zero exactly
         as the reference does (:694-697); k2i/k2i_z are the exchange powers
         accumulated by the last step (momentum_rhs_ec / assemble_residual_ec).
+
+        DEVIATION from the reference's k2i column: eul/HorizSolve.cpp:704-708
+        dots F with only the E12 M2h(Pi) theta pressure piece, which is
+        near-orthogonal to F and under-reports the horizontal K->I power by
+        ~7 orders; here k2i sums ALL THREE EC pressure-splitting term powers
+        so that dIE = dt*(k2i + k2i_z) closes in f64 (verified by
+        tests/test_euler3d.py::test_ec_budget_closure_f64).  A reference-
+        comparable single-term value is k2i_parts[2] from momentum_rhs_ec.
 
         When x64 is enabled the integrals are evaluated in f64 regardless of
         the model dtype: at production sizes the f32 dot noise (~sqrt(N) eps

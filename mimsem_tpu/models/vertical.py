@@ -54,6 +54,26 @@ def inv_small(A):
     return M[..., :, n:]
 
 
+def terrain_following_levels(zlevs, topog_q):
+    """Terrain-following interface heights: each flat level z_k is mapped to
+        levs[k] = (ztop - topog) * z_k / ztop + topog
+    per quadrature point (linear basis-function decay of the surface height,
+    the reference's Geom::initTopog, eul/Geom.cpp:743-761).  The terrain
+    enters the model ONLY through these per-quad-point heights -- every
+    vertical metric (thickq, det scaling, chi weights) is already built from
+    them, so all operators and solvers work unchanged over orography.
+
+    zlevs   : (nk+1,) flat interface heights, zlevs[0] = 0, zlevs[-1] = ztop
+              (uniform or stretched).
+    topog_q : (nel, nq) surface height at the horizontal quadrature points.
+    Returns (nk+1, nel, nq) float64.
+    """
+    zlevs = np.asarray(zlevs, np.float64)
+    ztop = zlevs[-1]
+    t = np.asarray(topog_q, np.float64)
+    return (1.0 - t[None, :, :] / ztop) * zlevs[:, None, None] + t[None, :, :]
+
+
 class VerticalOps:
     """Vertical operator algebra over [lev, nel, n2loc] arrays.
 
@@ -73,6 +93,13 @@ class VerticalOps:
         self.levs = jnp.asarray(levs, self.dtype)          # (nk+1, nel, nq)
         self.nk = self.levs.shape[0] - 1
         self.thickq = self.levs[1:] - self.levs[:-1]       # (nk, nel, nq)
+        # state-independent mass blocks, cached EAGERLY (computed at build
+        # time so jitted steps embed them as constants instead of re-deriving
+        # wblk + Gauss-Jordan inverses every call -- the vertical Newton loop
+        # touches these every iteration)
+        self.VB_blk = self.wblk(self.chi_VB())             # (nk, nel, n2, n2)
+        self.VBinv_blk = inv_small(self.VB_blk)
+        self.VAinv_blk = inv_small(self.wblk(self.chi_VA()))  # (nk-1, ...)
 
     # ------------------------------------------------------------- primitives
     def interp(self, coef):
@@ -139,10 +166,14 @@ class VerticalOps:
 
     # ------------------------------------------------------------- operators
     def VA_inv_blocks(self, chi=None):
-        return inv_small(self.wblk(self.chi_VA() if chi is None else chi))
+        if chi is None:
+            return self.VAinv_blk
+        return inv_small(self.wblk(chi))
 
     def VB_inv_blocks(self, chi=None):
-        return inv_small(self.wblk(self.chi_VB() if chi is None else chi))
+        if chi is None:
+            return self.VBinv_blk
+        return inv_small(self.wblk(chi))
 
     def lincon(self, x_layers):
         """AB: layers -> interior interfaces with 1/2 weights
@@ -255,9 +286,9 @@ class VerticalOps:
     def eos_block(self, x):
         """Consistent EOS linearization block VB VB(x)^-1 VB ~ VB(1/x)
         (Assemble_EOS_Block, eul/VertOps.cpp:1144-1202)."""
-        VB = self.wblk(self.chi_VB())
         VBxinv = inv_small(self.wblk(self.chi_VB_rho(x)))
-        return jnp.einsum('lnij,lnjk,lnkm->lnim', VB, VBxinv, VB)
+        return jnp.einsum('lnij,lnjk,lnkm->lnim', self.VB_blk, VBxinv,
+                          self.VB_blk)
 
     def grad_z(self, x_layers, VAinv):
         """Vertical weak gradient VA^-1 V01 VB x on interior interfaces
@@ -298,6 +329,6 @@ class VerticalOps:
 
     def n_rt_blocks(self, rt):
         """N_rt = -(Rd/cv) VB VB(rt)^-1 VB (box/VertSolve.cpp:962-970)."""
-        VB = self.wblk(self.chi_VB())
         VBrti = inv_small(self.wblk(self.chi_VB_rho(rt)))
-        return -(RD / CV) * jnp.einsum('lnij,lnjk,lnkm->lnim', VB, VBrti, VB)
+        return -(RD / CV) * jnp.einsum('lnij,lnjk,lnkm->lnim', self.VB_blk,
+                                       VBrti, self.VB_blk)

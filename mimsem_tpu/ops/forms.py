@@ -409,11 +409,29 @@ class SpaceOps:
         The departure-point offsets are O(CFL) perturbations of the diagonal
         centred M0h, so diagonally-preconditioned Richardson converges
         geometrically (the reference uses GMRES+BJACOBI on the same system;
-        here the fixed-depth iteration compiles to a tight TPU loop)."""
+        here the fixed-depth iteration compiles to a tight TPU loop).
+
+        Guard: `niter` fixed sweeps are sized for CFL <~ 0.5 (tau*dt*|u_ref|);
+        a residual-checked continuation (up to 3*niter total) catches a driver
+        pushing the departure offsets larger, where the fixed count would
+        silently under-converge.  Costs one matvec + dot in the common case."""
         from . import solvers
         d = self.m0_lumped(hq)
         mv = lambda x: self.apply_M0h_up(x, hq, P_up)
-        return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
+        x = solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
+        tol2 = tol * tol * jnp.maximum(self.dot0(b0, b0), 1e-300)
+
+        def cond(state):
+            x, k = state
+            r = b0 - mv(x)
+            return jnp.logical_and(k < 2 * niter, self.dot0(r, r) > tol2)
+
+        def body(state):
+            x, k = state
+            return (x + (b0 - mv(x)) / d).astype(b0.dtype), k + 1
+
+        x, _ = jax.lax.while_loop(cond, body, (x, 0))
+        return x
 
     def apply_Rq_local(self, wq, u1):
         """Local cross-product contributions for a precomputed PV quadrature

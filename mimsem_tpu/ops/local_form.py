@@ -484,11 +484,8 @@ class LocalOps(SpaceOps):
         return solvers.cg(self.apply_M1, b1, pc=self.pc_M1, tol=tol,
                           maxiter=maxiter, dot=self.dot1)
 
-    def solve_M0h_up(self, b0, hq, P_up, tol=1e-13, niter=10):
-        from . import solvers
-        d = self.m0_lumped(hq)
-        mv = lambda x: self.apply_M0h_up(x, hq, P_up)
-        return solvers.richardson(mv, b0, pc=lambda r: r / d, niter=niter)
+    # solve_M0h_up inherited: Richardson + residual-checked continuation
+    # (SpaceOps.solve_M0h_up); m0_lumped/apply_M0h_up/dot0 overridden here.
 
     def solve_M2(self, b2, h2=None, tol=1e-14):
         bl = self.gather2(b2)

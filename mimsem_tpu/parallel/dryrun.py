@@ -75,8 +75,29 @@ def run(n_devices: int) -> None:
     jax.block_until_ready((u3, h3))
     assert np.isfinite(np.asarray(u3)).all() and np.isfinite(np.asarray(h3)).all()
 
+    # --- 3D EC Euler step (the flagship model) over the same mesh ---------
+    # box with n_devices element rows so the owner-computes DSS shards
+    # evenly; vmapped-over-levels DSS rides the same collective schedule
+    from mimsem_tpu.testcases import bubble
+    ne3 = 4 if 4 % n_devices == 0 else n_devices
+    eul0, st0 = bubble.build(ne=ne3, p=2, nk=4, dt=0.5)
+    ra, _ = eul0.step_ec(eul0.init_state_ec(*st0[:5]), first=True)
+    eul1, st1 = bubble.build(ne=ne3, p=2, nk=4, dt=0.5, el_sharding=el_sh)
+    assert eul1.ops.spmd is not None, "3D owner-computes DSS should be active"
+    rb, _ = eul1.step_ec(eul1.init_state_ec(*st1[:5]), first=True)
+    jax.block_until_ready(rb[0])
+    errs = {}
+    for xa, xb, name in zip(ra[:5], rb[:5],
+                            ("velx", "w", "rho", "rt", "exner")):
+        na = np.linalg.norm(np.asarray(xa).ravel())
+        errs[name] = (np.linalg.norm((np.asarray(xa) - np.asarray(xb)).ravel())
+                      / max(na, 1.0))
+        assert errs[name] < 1e-10, f"sharded 3D {name}: rel={errs[name]:.3e}"
+    de = max(errs.values())
+
     print(f"dryrun_multichip OK: {n_devices} devices, "
-          f"sharded-vs-single rel err u={du:.2e} h={dh:.2e}")
+          f"SW sharded-vs-single rel err u={du:.2e} h={dh:.2e}; "
+          f"Euler3D EC step rel err max={de:.2e} ({errs})")
 
 
 if __name__ == "__main__":

@@ -15,7 +15,8 @@ from ..mesh.box import periodic_box_mesh
 from ..mesh.topology import build_topology
 from ..mesh.geometry import build_geometry
 from ..ops.local_form import LocalOps
-from ..models.vertical import VerticalOps, RD, CP, CV, P0, GRAVITY
+from ..models.vertical import (VerticalOps, terrain_following_levels,
+                               RD, CP, CV, P0, GRAVITY)
 from ..models.euler3d import Euler3D
 
 THETA_0 = 300.0
@@ -54,7 +55,10 @@ def rt_init(x, z):
 
 def build(ne: int = 10, p: int = 3, nk: int = 150, dt: float = 0.01,
           lx: float = LX, ztop: float = ZTOP, dtype=None, el_sharding=None,
-          **kw):
+          topog=None, **kw):
+    """topog: optional callable (x, y) -> surface height at the horizontal
+    quadrature points; builds terrain-following levels (Geom::initTopog,
+    eul/Geom.cpp:743-761) instead of flat ones."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mesh = periodic_box_mesh(ne, lx=lx)
@@ -62,8 +66,13 @@ def build(ne: int = 10, p: int = 3, nk: int = 150, dt: float = 0.01,
     basis = make_basis(p)
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
-    levs = np.linspace(0.0, ztop, nk + 1)[:, None, None] \
-        * np.ones((1, ops.nel, basis.nq))
+    zl = np.linspace(0.0, ztop, nk + 1)
+    if topog is not None:
+        ll = np.asarray(geom.lonlat)            # (nel, nq, 2) = x/y in the box
+        levs = terrain_following_levels(zl, np.asarray(topog(ll[..., 0],
+                                                            ll[..., 1])))
+    else:
+        levs = zl[:, None, None] * np.ones((1, ops.nel, basis.nq))
     vo = VerticalOps(ops, levs)
     eul = Euler3D(ops, vo, dt=dt, do_visc=False, **kw)
 

@@ -18,7 +18,8 @@ from ..mesh.cubed_sphere import cubed_sphere_mesh, RAD_SPHERE
 from ..mesh.topology import build_topology
 from ..mesh.geometry import build_geometry
 from ..ops.local_form import LocalOps
-from ..models.vertical import VerticalOps, RD, CP, CV, P0, GRAVITY
+from ..models.vertical import (VerticalOps, terrain_following_levels,
+                               RD, CP, CV, P0, GRAVITY)
 from ..models.euler3d import Euler3D
 
 A = RAD_SPHERE
@@ -110,7 +111,7 @@ def _pert(x, z):
 
 
 def build(ne: int = 8, p: int = 3, nk: int = 30, dt: float = 75.0, dtype=None,
-          el_sharding=None, do_visc: bool = True, **kw):
+          el_sharding=None, do_visc: bool = True, topog=None, **kw):
     # top Rayleigh sponge on by default: #define RAYLEIGH (4.0/120.0) is
     # active in the reference vertical solve (eul/VertSolve.cpp:32) and the
     # 12-day run is unstable without it (lid reflections, blowup ~day 3)
@@ -123,7 +124,14 @@ def build(ne: int = 8, p: int = 3, nk: int = 30, dt: float = 75.0, dtype=None,
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
     zl = z_levels(nk)
-    levs = zl[:, None, None] * np.ones((1, ops.nel, basis.nq))
+    if topog is not None:
+        # terrain-following stretched levels (Geom::initTopog hook,
+        # eul/UMJS14.cpp:294, eul/Geom.cpp:743-761)
+        ll = np.asarray(geom.lonlat)
+        levs = terrain_following_levels(zl, np.asarray(topog(ll[..., 0],
+                                                             ll[..., 1])))
+    else:
+        levs = zl[:, None, None] * np.ones((1, ops.nel, basis.nq))
     vo = VerticalOps(ops, levs)
     coriolis = lambda lon, lat: 2.0 * OMEGA * jnp.sin(lat)
     eul = Euler3D(ops, vo, dt=dt, coriolis=coriolis, do_visc=do_visc, **kw)

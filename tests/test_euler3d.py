@@ -130,6 +130,40 @@ def test_ec_budget_closure_f64():
         e_prev = e
 
 
+def test_terrain_hydrostatic_balance():
+    """A balanced isentropic atmosphere over a RESOLVED cosine hill stays
+    balanced through full HEVI steps: w excited only at truncation level and
+    bounded (the terrain-following analogue of the flat vertical balance
+    test; Geom::initTopog, eul/Geom.cpp:743-761).  The terrain enters solely
+    through the per-quad-point levels -- all operators are unchanged."""
+    from mimsem_tpu.models.vertical import terrain_following_levels
+    lx = bubble.LX
+    h0 = 60.0                      # gentle, well-resolved hill (4% of ztop)
+    topog = lambda x, y: h0 * 0.25 * (
+        (1.0 + np.cos(2.0 * np.pi * (x - 0.5 * lx) / lx))
+        * (1.0 + np.cos(2.0 * np.pi * (y - 0.5 * lx) / lx)))
+    eul, state = bubble.build(ne=2, p=3, nk=5, dt=0.2, topog=topog)
+    # terrain actually present and monotone levels
+    assert float(eul.vo.levs[0].max()) > 0.9 * h0
+    assert float(eul.vo.thickq.min()) > 0.0
+    # balanced base state (no bubble): all fields functions of physical z only
+    rho = eul.project_layers(lambda x, z: bubble.rho_init(x, z))
+    rt = eul.project_layers(
+        lambda x, z: bubble.rho_init(x, z) * bubble.THETA_0)
+    exner = eul.project_layers(bubble.exner_init)
+    velx = jnp.zeros_like(state[0])
+    w = jnp.zeros_like(state[1])
+    st = (velx, w, rho, rt, exner, velx)
+    wmax = []
+    for i in range(6):
+        st = eul.step(st, first=(i == 0))
+        wmax.append(float(jnp.abs(eul.vo.phys_int(st[1])).max()))
+    # truncation-level response: |w| saturates at ~1e-4 m/s (an adjustment
+    # transient, not an instability -- increments decelerate)
+    assert wmax[-1] < 1e-3, wmax
+    assert wmax[-1] - wmax[-2] < 0.5 * (wmax[1] - wmax[0]) + 1e-8, wmax
+
+
 def test_run_steps_ec_scan_equivalence():
     """The scanned chunk runner (one dispatch per dump interval) must
     reproduce the per-step loop exactly and integrate the exchange powers."""
