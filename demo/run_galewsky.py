@@ -8,7 +8,12 @@ iterations per step.  f32 on TPU with the mixed-precision machinery
 (240 steps) is one on-device lax.scan dispatch, conservation is measured
 host-side in f64 at every dump.
 
-Usage: python demo/run_galewsky.py [outdir] [ne] [days]
+Usage: python demo/run_galewsky.py [outdir] [ne] [days] [--q-block]
+
+--q-block switches the PV diagnosis to the exact-enstrophy 2x2 block solve
+(SWEqn::diagnose_q_exact, src/SWEqn_Picard.cpp:1361-1478): enstrophy is then
+conserved to solver tolerance instead of drifting under upwinded-PV
+dissipation -- the conservation.dat enst column is the oracle.
 """
 import os
 import sys
@@ -18,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+# persistent compile cache: the tunneled TPU's remote-compile endpoint
+# is intermittently flaky; cached executables make supervisor retries
+# (and reruns) skip the ~10 min recompile
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/mimsem_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from mimsem_tpu.testcases import galewsky
@@ -25,15 +36,20 @@ from mimsem_tpu.utils import io as mio
 
 
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "demo/galewsky"
-    ne = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    days = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    q_block = "--q-block" in sys.argv
+    argv = [a for a in sys.argv if not a.startswith("--")]
+    outdir = argv[1] if len(argv) > 1 else "demo/galewsky"
+    ne = int(argv[2]) if len(argv) > 2 else 24
+    days = int(argv[3]) if len(argv) > 3 else 20
     dt = 360.0
     steps_per_day = int(round(86400.0 / dt))
     os.makedirs(outdir, exist_ok=True)
 
     t0 = time.time()
-    sw, u, hp = galewsky.build(ne=ne, p=3, dt=dt, dtype=jnp.float32)
+    sw, u, hp = galewsky.build(ne=ne, p=3, dt=dt, dtype=jnp.float32,
+                               q_block=q_block)
+    if q_block:
+        print("PV: exact-enstrophy 2x2 block solve (q_block)", flush=True)
     print(f"build {time.time()-t0:.1f}s  ndofs={sw.ops.n1 + sw.ops.n2}", flush=True)
 
     run_day = jax.jit(sw.run_steps_compensated, static_argnums=4)

@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+# persistent compile cache: the tunneled TPU's remote-compile endpoint
+# is intermittently flaky; cached executables make supervisor retries
+# (and reruns) skip the ~10 min recompile
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/mimsem_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from mimsem_tpu.utils import io as mio

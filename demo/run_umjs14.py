@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+# persistent compile cache: the tunneled TPU's remote-compile endpoint
+# is intermittently flaky; cached executables make supervisor retries
+# (and reruns) skip the ~10 min recompile
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/mimsem_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # x64 on: the model runs f32, but the energetics integrals and exchange-power
 # dots are evaluated in (TPU-emulated) f64 -- in f32 their cancellation noise
@@ -88,12 +94,26 @@ def main():
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step = 1
+    # One jitted scan per sub-chunk.  Sub-chunking (default 96 steps, ~1 min
+    # of device time) bounds the duration of a single XLA execution: the
+    # tunneled TPU intermittently kills very long dispatches with
+    # UNAVAILABLE "TPU device error" (observed twice on 1152-step, ~20 min
+    # dispatches).  Sub-dispatches are enqueued WITHOUT host sync -- the
+    # device stays busy; we only block at dumps.  A supervisor
+    # (demo/run_umjs14.sh) resumes from the last checkpoint if a dispatch
+    # still dies.
+    run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
+    max_chunk = int(os.environ.get("UMJS14_MAX_CHUNK", "96"))
     while step < nsteps:
         chunk = min(dump_every - (step % dump_every) or dump_every,
                     nsteps - step)
         t0 = time.time()
-        state, aux = eul.run_steps_ec(state, chunk)
-        exch_int = exch_int + aux["exch_int"]
+        done = 0
+        while done < chunk:
+            sub = min(chunk - done, max_chunk)
+            state, aux = run_ec(state, sub)
+            exch_int = exch_int + aux["exch_int"]
+            done += sub
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step += chunk

@@ -126,8 +126,12 @@ class SWEqn:
             coriolis = lambda lon, lat: 2.0 * omega * jnp.sin(lat)
         self.f0 = ops.proj0(coriolis)
 
-        put = (lambda a: a) if ops.el_sharding is None else \
-            (lambda a: jax.device_put(a, ops.el_sharding))
+        def put(a):
+            # HostOps builds structural element-major arrays; match the
+            # (possibly tile-major-permuted) device element order first
+            a = ops.device_order(jnp.asarray(a))
+            return a if ops.el_sharding is None else \
+                jax.device_put(a, ops.el_sharding)
 
         # ---- f64 reference state + balanced forcing (host-side) ----
         self.host = HostOps(ops)

@@ -90,6 +90,10 @@ class VerticalOps:
         self.det = c(ops.det)         # (nel, nq)
         self.nel = ops.nel
         self.n2loc = self.B2.shape[1]
+        levs = np.asarray(levs)
+        if getattr(ops, 'el_perm', None) is not None:
+            # match the tile-major device element order (ops/forms.py el_perm)
+            levs = levs[:, ops.el_perm]
         self.levs = jnp.asarray(levs, self.dtype)          # (nk+1, nel, nq)
         self.nk = self.levs.shape[0] - 1
         self.thickq = self.levs[1:] - self.levs[:-1]       # (nk, nel, nq)

@@ -55,7 +55,7 @@ class SpaceOps:
     """
 
     def __init__(self, topo: Topology, basis: Basis, geom: Geometry,
-                 dtype=jnp.float64, el_sharding=None):
+                 dtype=jnp.float64, el_sharding=None, el_perm=None):
         self.topo = topo
         self.basis = basis
         self.geom = geom  # host-side numpy metrics (for setup-time PC assembly)
@@ -64,24 +64,44 @@ class SpaceOps:
         self.n0, self.n1, self.n2 = topo.n0, topo.n1, topo.n2
         self.n1loc = topo.n1loc
         self.el_sharding = el_sharding
+        # tile-major element permutation (new_el -> old_el) for 2-D device
+        # meshes: structural (row-major) construction logic is unchanged; the
+        # element-leading arrays and flat-index tables are reordered ONCE here
+        # so each device owns a contiguous (row-block x col-block) tile.
+        # Global 0/1-form DOF IDs come from the geometric merge and are
+        # order-free; 2-form "IDs" are positional (element-major), so the
+        # e21 incidence rows are re-ordered along with the elements.
+        self.el_perm = el_perm
+        self.el_perm_inv = None if el_perm is None else np.argsort(el_perm)
+        pm = (lambda a: a) if el_perm is None else (lambda a: a[el_perm])
 
         def put(a):
             """Place an element-dim-leading array, sharded across chips if requested."""
             return a if el_sharding is None else jax.device_put(a, el_sharding)
 
         f = lambda a: jnp.asarray(a, dtype=dtype)         # replicated
-        fe = lambda a: put(jnp.asarray(a, dtype=dtype))   # element-sharded
+        fe = lambda a: put(jnp.asarray(pm(a), dtype=dtype))   # element-sharded
         i = lambda a: jnp.asarray(a, dtype=jnp.int32)
-        ie = lambda a: put(jnp.asarray(a, dtype=jnp.int32))
+        ie = lambda a: put(jnp.asarray(pm(a), dtype=jnp.int32))
         self.dtype = dtype
 
-        self.e2d0 = ie(topo.e2d0)
-        self.e2d1 = ie(topo.e2d1)
-        self.sgn1 = fe(topo.sgn1)
+        # permuted HOST views: every flat-local table below must be built
+        # from these so device arrays and index tables agree on element order
+        # (LocalOps builds its multiplicity weights / partner tables from the
+        # same views)
+        e2d0_h, e2d1_h, sgn1_h = pm(topo.e2d0), pm(topo.e2d1), pm(topo.sgn1)
+        self.e2d0_h, self.e2d1_h, self.sgn1_h = e2d0_h, e2d1_h, sgn1_h
+        pp = topo.p * topo.p
+        e21_idx_h = pm(topo.e21_idx.reshape(self.nel, pp, 4)).reshape(-1, 4)
+        e21_sgn_h = pm(topo.e21_sgn.reshape(self.nel, pp, 4)).reshape(-1, 4)
+
+        self.e2d0 = put(jnp.asarray(e2d0_h, jnp.int32))
+        self.e2d1 = put(jnp.asarray(e2d1_h, jnp.int32))
+        self.sgn1 = put(jnp.asarray(sgn1_h, dtype))
         self.e10_plus = i(topo.e10_plus)
         self.e10_minus = i(topo.e10_minus)
-        self.e21_idx = i(topo.e21_idx)
-        self.e21_sgn = f(topo.e21_sgn)
+        self.e21_idx = i(e21_idx_h)
+        self.e21_sgn = f(e21_sgn_h)
 
         self.B0 = f(basis.B0)    # (nq, n0loc)
         self.B1x = f(basis.B1x)  # (nq, n1loc)
@@ -111,12 +131,37 @@ class SpaceOps:
         self.M1blkinv = fe(np.linalg.inv(M1blk))
 
         # ---- scatter-free assembly tables (gather+sum instead of scatter-add) ----
-        self.t_asm0 = i(_inverse_table(topo.e2d0, self.n0))        # (n0, m)
-        self.t_asm1 = i(_inverse_table(topo.e2d1, self.n1))        # (n1, 2)
+        self.t_asm0 = i(_inverse_table(e2d0_h, self.n0))           # (n0, m)
+        self.t_asm1 = i(_inverse_table(e2d1_h, self.n1))           # (n1, 2)
         # adjoint incidence: invert the E10/E21 row->col maps
         e01_dst = np.concatenate([topo.e10_plus, topo.e10_minus])
         self.t_e01 = i(_inverse_table(e01_dst, self.n0))           # (n0, m)
-        self.t_e12 = i(_inverse_table(topo.e21_idx, self.n1))      # (n1, 2)
+        self.t_e12 = i(_inverse_table(e21_idx_h, self.n1))         # (n1, 2)
+
+    def device_order(self, a):
+        """Apply the tile-major element permutation to a host-built array in
+        structural element order -- either element-leading (nel, ...) or a
+        flat local-form array [..., nel*K] -- so it matches the device
+        layout.  Identity when no permutation is active."""
+        if self.el_perm is None:
+            return a
+        a = jnp.asarray(a)
+        if a.ndim and a.shape[0] == self.nel:
+            return a[self.el_perm]
+        K = a.shape[-1] // self.nel
+        v = a.reshape(*a.shape[:-1], self.nel, K)
+        return v[..., self.el_perm, :].reshape(a.shape)
+
+    def struct_order(self, vl):
+        """Undo the tile-major element permutation of a flat local-form array
+        (any per-element slot width), returning structural element-major
+        order for host-side I/O / cross-layout comparison.  Identity when no
+        permutation is active."""
+        if self.el_perm_inv is None:
+            return vl
+        K = vl.shape[-1] // self.nel
+        v = vl.reshape(*vl.shape[:-1], self.nel, K)
+        return v[..., self.el_perm_inv, :].reshape(vl.shape)
 
     def dtype_np(self):
         import numpy as _np
@@ -248,19 +293,74 @@ class SpaceOps:
         (src/Assembly.cpp:1346-1395): metric-free q x ( ) in reference coords."""
         return self.scatter1(self.apply_R_local(q0, u1))
 
-    def apply_R_apvm(self, q0, u_adv, dq1, tau, v1):
+    def apply_R_apvm(self, q0, u_adv, dq1, tau, v1, q_prev=None, dt=None):
         """Anticipated-potential-vorticity rotational operator applied to v1:
         PV corrected by q* = q - tau (u_adv x grad q) before the cross product
-        (RotMat_up::assemble_supg without the time-derivative term,
-        src/Assembly.cpp:1855+; used by the Rosenbrock SW solver)."""
+        (RotMat_up::assemble_supg, src/Assembly.cpp:1854-1926; used by the
+        Rosenbrock SW solver).  With q_prev/dt the FULL SUPG correction
+        including the reference's time-derivative term (:1903):
+            q* = q - tau (u_adv x grad q + (q - q_prev)/dt)."""
         up = self.interp1_phys(u_adv)
         dqp = self.interp1_phys(dq1)
-        wq = (self.interp0(q0)
-              - tau * (up[..., 0] * dqp[..., 1] - up[..., 1] * dqp[..., 0])) * self.W
+        corr = up[..., 0] * dqp[..., 1] - up[..., 1] * dqp[..., 0]
+        if q_prev is not None:
+            corr = corr + (self.interp0(q0) - self.interp0(q_prev)) / dt
+        wq = (self.interp0(q0) - tau * corr) * self.W
         qx, qy = self.interp1_ref(v1)
         rx = -wq * qy
         ry = +wq * qx
         return self.scatter1(jnp.concatenate([rx @ self.B1x, ry @ self.B1y], axis=1))
+
+    def m1_up(self, u1, tau):
+        """Departure-point 1-form TEST tensors (B1x_up, B1y_up), each
+        (nel, nq, n1loc): the NODAL factor of each family evaluated at the
+        characteristics-displaced quadrature point x_q + tau*u_ref, the edge
+        factor kept centred, exactly the reference's choice
+        (Umat::assemble_up, src/Assembly.cpp:174-188 -- the edge-factor
+        shift there is commented out).  Note p0_up's displacement is
+        x_q - tau*u_ref; pass tau with the sign the scheme needs."""
+        from ..basis import lagrange_eval
+        ul = self.ref_velocity(u1)                     # (nel, nq, 2)
+        b = self.basis
+        q1 = b.q + 1
+        qx = jnp.asarray(np.tile(b.qpts, q1), self.dtype)
+        qy = jnp.asarray(np.repeat(b.qpts, q1), self.dtype)
+        nodes = np.asarray(b.nodes, self.dtype_np())
+        lx = lagrange_eval(nodes, qx[None, :] + tau * ul[..., 0])  # (nel,nq,p+1)
+        ly = lagrange_eval(nodes, qy[None, :] + tau * ul[..., 1])
+        ex = np.asarray(b.e_at_q, self.dtype_np())     # (q+1, p)
+        p, np1 = self.p, self.p + 1
+        # x-family cols ix_node + (p+1)*jy_edge: l_i(x) e_j(y)
+        ix = np.arange(self.n1loc) % np1
+        jy = np.arange(self.n1loc) // np1
+        ey_q = ex[np.repeat(np.arange(q1), q1)]        # (nq, p) edge in y
+        B1x_up = lx[..., ix] * jnp.asarray(ey_q[:, jy])
+        # y-family cols ix_edge + p*jy_node: e_i(x) l_j(y)
+        ixe = np.arange(self.n1loc) % p
+        jyn = np.arange(self.n1loc) // p
+        ex_q = ex[np.tile(np.arange(q1), q1)]          # (nq, p) edge in x
+        B1y_up = jnp.asarray(ex_q[:, ixe]) * ly[..., jyn]
+        return B1x_up, B1y_up
+
+    def apply_M1h_up(self, v1, B1x_up, B1y_up, h2=None, weight_q=None):
+        """Upwinded-TEST-function (field-weighted) 1-form mass action
+        (Umat::assemble_up / Uhmat::assemble_up, src/Assembly.cpp:127-245,
+        736-861): trial side = centred B1 interpolation + metric
+        G = w J^T J [h]/det, test side = the m1_up departure-point tensors.
+        Nonsymmetric; reduces to apply_M1(h) exactly at tau = 0."""
+        G = self.G1
+        if h2 is not None:
+            G = G * self.interp2_phys(h2)[..., None, None]
+        if weight_q is not None:
+            G = G * weight_q[..., None, None]
+        vl = self.gather1(v1)
+        qx = vl[:, :self.n1loc] @ self.B1x.T
+        qy = vl[:, self.n1loc:] @ self.B1y.T
+        rx = G[..., 0, 0] * qx + G[..., 0, 1] * qy
+        ry = G[..., 1, 0] * qx + G[..., 1, 1] * qy
+        lx = jnp.einsum('eq,eqj->ej', rx, B1x_up)
+        ly = jnp.einsum('eq,eqj->ej', ry, B1y_up)
+        return self.scatter1(jnp.concatenate([lx, ly], axis=1))
 
     def apply_K(self, uK, v1):
         """Kinetic-energy operator WtQUmat (src/Assembly.cpp:1146-1218):

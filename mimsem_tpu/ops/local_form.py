@@ -53,9 +53,21 @@ def _face_grid(mesh):
 class LocalOps(SpaceOps):
     def __init__(self, topo: Topology, basis: Basis, geom: Geometry, mesh: dict,
                  dtype=jnp.float64, el_sharding=None):
-        super().__init__(topo, basis, geom, dtype=dtype, el_sharding=el_sharding)
+        nf, ney, nex = _face_grid(mesh)
+        # 2-D device mesh -> tile-major element permutation so each device's
+        # contiguous flat-element chunk is its (row-block x col-block) tile
+        # (parallel/sharding.py tile_perm); 1-D row-block meshes need none.
+        el_perm = None
+        devmesh = getattr(el_sharding, 'mesh', None)
+        if devmesh is not None and len(devmesh.axis_names) == 2:
+            from ..parallel.sharding import tile_perm
+            dr, dc = devmesh.devices.shape
+            if (nf * ney) % dr == 0 and nex % dc == 0:
+                el_perm = tile_perm(nf * ney, nex, dr, dc)
+        super().__init__(topo, basis, geom, dtype=dtype,
+                         el_sharding=el_sharding, el_perm=el_perm)
         self.mesh = mesh
-        self.nf, self.ney, self.nex = _face_grid(mesh)
+        self.nf, self.ney, self.nex = nf, ney, nex
         self.periodic = bool(mesh.get('periodic'))
         p = self.p
         self._sh0 = (self.nf, self.ney, self.nex, p + 1, p + 1)
@@ -67,11 +79,13 @@ class LocalOps(SpaceOps):
         self.ln2 = self.nel * p * p
 
         self._build_meta(topo)
-        # multiplicity weights for inner products (1/#copies per local slot)
-        m0 = np.bincount(topo.e2d0.ravel(), minlength=self.n0)
-        self.wdot0 = jnp.asarray(1.0 / m0[topo.e2d0.ravel()], dtype)
-        m1 = np.bincount(topo.e2d1.ravel(), minlength=self.n1)
-        self.wdot1 = jnp.asarray(1.0 / m1[topo.e2d1.ravel()], dtype)
+        # multiplicity weights for inner products (1/#copies per local slot);
+        # built from the (possibly el_perm-reordered) host views so flat
+        # indices agree with the device element order
+        m0 = np.bincount(self.e2d0_h.ravel(), minlength=self.n0)
+        self.wdot0 = jnp.asarray(1.0 / m0[self.e2d0_h.ravel()], dtype)
+        m1 = np.bincount(self.e2d1_h.ravel(), minlength=self.n1)
+        self.wdot1 = jnp.asarray(1.0 / m1[self.e2d1_h.ravel()], dtype)
 
         # single-launch partner-gather DSS for the single-device hot path.
         # The slicing DSS below compiles to ~50 tiny dynamic-slice/update
@@ -83,15 +97,30 @@ class LocalOps(SpaceOps):
         self._build_partner_tables(topo)
 
         # sharding v2: explicit owner-computes DSS (parallel/spmd_dss.py)
-        # whenever the element sharding is backed by a multi-device mesh and
-        # whole element rows divide evenly across it; GSPMD fallback else.
+        # whenever the element sharding is backed by a multi-device mesh that
+        # tiles the element grid evenly -- 1-D whole-row blocks or a 2-D
+        # (row-block x col-block) tiling (SURVEY 2.6 (face, fy, fx) product).
+        # The GSPMD fallback is ~54x more collective traffic, so it now warns.
         self.spmd = None
-        devmesh = getattr(el_sharding, 'mesh', None)
-        if devmesh is not None and devmesh.devices.size > 1 \
-                and (self.nf * self.ney) % devmesh.devices.size == 0:
-            from ..parallel.spmd_dss import SpmdDss
-            self.spmd = SpmdDss(self, devmesh,
-                                axis=devmesh.axis_names[0])
+        if devmesh is not None and devmesh.devices.size > 1:
+            ok = ((self.nf * self.ney) % devmesh.devices.shape[0] == 0
+                  and (len(devmesh.axis_names) == 1
+                       or el_perm is not None))
+            if ok:
+                from ..parallel.spmd_dss import SpmdDss
+                self.spmd = SpmdDss(self, devmesh)
+            else:
+                import warnings
+                warnings.warn(
+                    f"device mesh {devmesh.devices.shape} does not tile the "
+                    f"[{self.nf * self.ney}, {self.nex}] element grid evenly; "
+                    "falling back to GSPMD-lowered DSS (~54x more collective "
+                    "traffic). Pick n_devices via parallel.sharding."
+                    "choose_tiling / auto_mesh.", stacklevel=3)
+        if self.el_perm is not None and self.spmd is None:
+            raise ValueError("el_perm set but owner-computes DSS inactive; "
+                             "the structural slicing DSS does not support "
+                             "permuted element order")
 
     def _build_partner_tables(self, topo: Topology):
         """Flat partner index/sign tables driving the gather DSS.
@@ -102,8 +131,8 @@ class LocalOps(SpaceOps):
         to 3 partners summed in table order (ulp-level reordering vs the
         slicing form at corners)."""
         # ---- 1-forms
-        g1 = topo.e2d1.ravel()
-        s1 = topo.sgn1.ravel()
+        g1 = self.e2d1_h.ravel()
+        s1 = self.sgn1_h.ravel()
         order = np.argsort(g1, kind='stable')
         idx1 = np.arange(g1.size, dtype=np.int64)
         partner = idx1.copy()          # self => sgn 0 contribution
@@ -121,7 +150,7 @@ class LocalOps(SpaceOps):
         self._p1_sgn = jnp.asarray(sgn, self.dtype)
 
         # ---- 0-forms (up to 3 partners)
-        g0 = topo.e2d0.ravel()
+        g0 = self.e2d0_h.ravel()
         order = np.argsort(g0, kind='stable')
         part0 = np.zeros((g0.size, 3), np.int64)
         msk0 = np.zeros((g0.size, 3))

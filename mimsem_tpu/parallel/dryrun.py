@@ -75,6 +75,32 @@ def run(n_devices: int) -> None:
     jax.block_until_ready((u3, h3))
     assert np.isfinite(np.asarray(u3)).all() and np.isfinite(np.asarray(h3)).all()
 
+    # --- 2-D (row-block x col-block) tile mesh (sharding v3) --------------
+    # the SURVEY 2.6 (face, fy, fx) product decomposition: tile-major
+    # element permutation + E-W cross-tile ppermute (parallel/spmd_dss.py)
+    from mimsem_tpu.parallel.sharding import choose_tiling, make_mesh2
+    d2 = None
+    for dr in range(n_devices, 0, -1):      # force a genuinely 2-D tiling
+        dc = n_devices // dr
+        if dr * dc == n_devices and dc > 1 and (6 * ne) % dr == 0 \
+                and ne % dc == 0:
+            d2 = (dr, dc)
+            break
+    du2 = dh2 = None
+    if d2 is not None:
+        mesh2 = make_mesh2(*d2)
+        sw2, uu, hh = w2.build(ne=ne, p=3, dt=600.0, dtype=jnp.float64,
+                               el_sharding=element_sharding(mesh2),
+                               gmres_restart=20, gmres_maxiter=2)
+        assert sw2.ops.spmd is not None and sw2.ops.spmd.Dc == d2[1]
+        u2, h2 = jax.jit(sw2._step_impl)(uu, hh)
+        u2 = np.asarray(sw2.ops.struct_order(u2))
+        h2 = np.asarray(sw2.ops.struct_order(h2))
+        du2 = np.linalg.norm(u2 - u_ref) / np.linalg.norm(u_ref)
+        dh2 = np.linalg.norm(h2 - h_ref) / np.linalg.norm(h_ref)
+        assert du2 < 1e-10, f"2-D-tiled u differs: rel={du2:.3e}"
+        assert dh2 < 1e-10, f"2-D-tiled h differs: rel={dh2:.3e}"
+
     # --- 3D EC Euler step (the flagship model) over the same mesh ---------
     # box with n_devices element rows so the owner-computes DSS shards
     # evenly; vmapped-over-levels DSS rides the same collective schedule
@@ -95,9 +121,11 @@ def run(n_devices: int) -> None:
         assert errs[name] < 1e-10, f"sharded 3D {name}: rel={errs[name]:.3e}"
     de = max(errs.values())
 
+    tile = "" if du2 is None else (
+        f"; 2-D tile mesh {d2} rel err u={du2:.2e} h={dh2:.2e}")
     print(f"dryrun_multichip OK: {n_devices} devices, "
           f"SW sharded-vs-single rel err u={du:.2e} h={dh:.2e}; "
-          f"Euler3D EC step rel err max={de:.2e} ({errs})")
+          f"Euler3D EC step rel err max={de:.2e} ({errs}){tile}")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Owner-computes SPMD direct stiffness summation (sharding v2).
+"""Owner-computes SPMD direct stiffness summation (sharding v2/v3).
 
 The round-1 layout left the DSS to GSPMD, which lowered the 12 static
 cube-edge strip exchanges + in-face shifted-slice adds of
@@ -9,12 +9,18 @@ explicit shard_map schedule, the TPU-native analogue of the reference's
 VecScatter ghost exchange (src/Topo.cpp:144-154) with the cross-panel
 orientation cases resolved at setup (scr/Proc2.py:133-198):
 
-  * the element grid [nf*ney, nex] is sharded by contiguous blocks of R
-    whole rows per device (one row = nex elements);
-  * in-face east-west sums never leave a row -> pure local slicing;
-  * in-face north-south sums between rows of the same block are local
-    masked slicing; the one row-pair crossing each block boundary is a
-    nearest-neighbor lax.ppermute of a single [nex, p]-ish strip;
+  * the element grid [nf*ney, nex] is tiled over a (Dr, Dc) device mesh --
+    Dr contiguous row blocks x Dc contiguous column blocks (the SURVEY 2.6
+    (face, fy, fx) product decomposition; Dc == 1 reproduces the v2 1-D
+    row-block layout).  Element arrays are stored tile-major via the
+    LocalOps el_perm so each device owns one contiguous [R, C] tile;
+  * in-tile east-west sums are pure local slicing; the one column pair
+    crossing each tile boundary is a nearest-neighbor lax.ppermute of a
+    single [R, p]-ish strip along the column mesh axis (always interior to
+    a face: face E/W boundaries are cube-edge strips);
+  * in-tile north-south sums are local masked slicing; the row pair
+    crossing each row-block boundary is a ppermute along the row mesh axis
+    of a [C, p]-ish strip, masked by same-face;
   * the 12 cube-edge strip pairs and 8 cube-vertex triples are packed into
     one [24, L] + [8, 3] buffer: each entry is owned by exactly one device,
     everyone contributes owned entries (zeros elsewhere), ONE lax.psum
@@ -22,11 +28,17 @@ orientation cases resolved at setup (scr/Proc2.py:133-198):
     device combines pairs/vertices redundantly and scatters back only its
     owned slots.
 
-Communication per DSS: 2 neighbor permutes (strip-sized) + 1 psum
-(panel-boundary-sized).  Everything is driven by per-device index tables
-(numpy at setup, selected by lax.axis_index inside the body), so the traced
-body is uniform across devices and vmap-compatible (the 3D model vmaps DSS
-over levels -- the level batch then rides the same single psum).
+Communication per DSS: <= 4 neighbor permutes (strip-sized) + 1 psum
+(panel-boundary-sized, INDEPENDENT of the device count).  Everything is
+driven by per-device index tables (numpy at setup, selected by
+lax.axis_index inside the body), so the traced body is uniform across
+devices and vmap-compatible (the 3D model vmaps DSS over levels -- the
+level batch then rides the same single psum).
+
+Ordering invariant: the east-west direction completes globally (in-tile +
+cross-tile) before any north-south sum starts, so the N/S strips carry
+E-W-complete values and the four copies of a 4-tile corner node all
+converge to the same total (the 1-D proof in dss0 generalizes).
 """
 from __future__ import annotations
 
@@ -39,38 +51,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BIG = np.iinfo(np.int32).max // 2     # out-of-range => take fills 0 / scatter drops
 
 
-def _dev_of(el, nex, R):
-    return (el // nex) // R
-
-
 class SpmdDss:
     """Builds and owns the shard_map'ed dss0/dss1 for a LocalOps instance.
 
-    Valid when (nf*ney) % n_devices == 0; the caller falls back to the GSPMD
-    path otherwise.
+    Valid when (nf*ney) % Dr == 0 and nex % Dc == 0 for the device mesh's
+    (Dr[, Dc]) shape; the caller falls back to the GSPMD path otherwise.
     """
 
-    def __init__(self, ops, mesh: Mesh, axis: str = "x"):
+    def __init__(self, ops, mesh: Mesh):
         self.ops = ops
         self.mesh = mesh
-        self.axis = axis
-        self.D = D = mesh.devices.size
+        axes = mesh.axis_names
+        self.row_ax = axes[0]
+        self.col_ax = axes[1] if len(axes) > 1 else None
+        if self.col_ax is None:
+            self.Dr, self.Dc = mesh.devices.size, 1
+        else:
+            self.Dr, self.Dc = mesh.devices.shape
+        Dr, Dc = self.Dr, self.Dc
+        self.D = D = Dr * Dc
         self.rows = rows = ops.nf * ops.ney
-        assert rows % D == 0, (rows, D)
-        self.R = R = rows // D
+        assert rows % Dr == 0, (rows, Dr)
+        assert ops.nex % Dc == 0, (ops.nex, Dc)
+        self.R = R = rows // Dr
+        self.C = ops.nex // Dc
         p, np1, nex = ops.p, ops.p + 1, ops.nex
         self.K0 = np1 * np1
         self.K1 = 2 * ops.n1loc
         self.periodic = ops.periodic
+        self.psum_axes = (self.row_ax,) if self.col_ax is None \
+            else (self.row_ax, self.col_ax)
 
-        # ---- north-south row-pair masks --------------------------------
+        # ---- north-south row-pair masks (depend on the row block only) ----
         # rows r, r+1 of a block may belong to different faces (no sum)
         face_of = np.arange(rows) // ops.ney if not self.periodic else \
             np.zeros(rows, np.int64)
-        ns_int = np.zeros((D, max(R - 1, 1)), bool)
-        snd_up = np.zeros(D, bool)      # my last row pairs with next block's first
-        snd_dn = np.zeros(D, bool)      # my first row pairs with prev block's last
-        for d in range(D):
+        ns_int = np.zeros((Dr, max(R - 1, 1)), bool)
+        snd_up = np.zeros(Dr, bool)     # my last row pairs with next block's first
+        snd_dn = np.zeros(Dr, bool)     # my first row pairs with prev block's last
+        for d in range(Dr):
             for r in range(R - 1):
                 g = d * R + r
                 ns_int[d, r] = face_of[g] == face_of[g + 1]
@@ -87,22 +106,31 @@ class SpmdDss:
         self.ns_int = jnp.asarray(ns_int)
         self.snd_up = jnp.asarray(snd_up)
         self.snd_dn = jnp.asarray(snd_dn)
-        # neighbor permutes (with wraparound only for the periodic box)
-        self.perm_up = [(d, d + 1) for d in range(D - 1)]   # send N-strip fwd
-        self.perm_dn = [(d + 1, d) for d in range(D - 1)]   # send S-strip back
-        if self.periodic and D > 1:
-            self.perm_up.append((D - 1, 0))
-            self.perm_dn.append((0, D - 1))
+        # neighbor permutes along the row axis (wraparound only for the box)
+        self.perm_up = [(d, d + 1) for d in range(Dr - 1)]   # send N-strip fwd
+        self.perm_dn = [(d + 1, d) for d in range(Dr - 1)]   # send S-strip back
+        if self.periodic and Dr > 1:
+            self.perm_up.append((Dr - 1, 0))
+            self.perm_dn.append((0, Dr - 1))
+        # neighbor permutes along the column axis; every cross-tile column
+        # pair is interior to a face, so no masks (except box wraparound,
+        # which pairs col nex-1 with col 0 across the seam)
+        self.perm_e = [(d, d + 1) for d in range(Dc - 1)]    # send E-strip fwd
+        self.perm_w = [(d + 1, d) for d in range(Dc - 1)]    # send W-strip back
+        self.ew_wrap = self.periodic and Dc > 1
+        if self.ew_wrap:
+            self.perm_e.append((Dc - 1, 0))
+            self.perm_w.append((0, Dc - 1))
 
         if not self.periodic and ops.nf > 1:
             self._build_panel_tables()
 
+        spec = P(self.row_ax, None) if self.col_ax is None \
+            else P(self.row_ax, self.col_ax)
         self._dss0_sm = jax.shard_map(
-            self._dss0_body, mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis))
+            self._dss0_body, mesh=mesh, in_specs=spec, out_specs=spec)
         self._dss1_sm = jax.shard_map(
-            self._dss1_body, mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis))
+            self._dss1_body, mesh=mesh, in_specs=spec, out_specs=spec)
 
     # ------------------------------------------------------------------ tables
     def _strips(self):
@@ -113,9 +141,13 @@ class SpmdDss:
         return keys
 
     def _loc(self, el, slot, K):
-        """Per-entry (device, local-flat-index) for global (el, slot)."""
-        d = _dev_of(el, self.ops.nex, self.R)
-        lf = (el - d * self.R * self.ops.nex) * K + slot
+        """Per-entry (device, local-flat-index) for structural (el, slot)
+        under the (Dr, Dc) tile decomposition + tile-major storage."""
+        el = np.asarray(el)
+        g, c = el // self.ops.nex, el % self.ops.nex
+        dr, dc = g // self.R, c // self.C
+        d = dr * self.Dc + dc
+        lf = ((g - dr * self.R) * self.C + (c - dc * self.C)) * K + slot
         return d, lf
 
     def _strip0_copies(self, f, side):
@@ -144,7 +176,7 @@ class SpmdDss:
         return el, sl
 
     def _build_panel_tables(self):
-        ops, D, R = self.ops, self.D, self.R
+        ops, D = self.ops, self.D
         topo = ops.topo
         keys = self._strips()
         self.sidx = {k: i for i, k in enumerate(keys)}
@@ -208,7 +240,7 @@ class SpmdDss:
 
     # ------------------------------------------------------------------ helpers
     def _flat(self, x):
-        """Flatten the last 3 axes [R, nex, K] -> [R*nex*K]."""
+        """Flatten the last 3 axes [R, C, K] -> [R*C*K]."""
         return x.reshape(*x.shape[:-3], -1)
 
     def _take(self, flat, idx):
@@ -217,27 +249,48 @@ class SpmdDss:
     def _put(self, flat, idx, vals):
         return flat.at[..., idx].set(vals, mode='drop')
 
-    def _axi(self):
-        return lax.axis_index(self.axis)
+    def _dev(self):
+        """Flat device id dr*Dc + dc, and the row-block id dr."""
+        dr = lax.axis_index(self.row_ax)
+        if self.col_ax is None:
+            return dr, dr
+        return dr * self.Dc + lax.axis_index(self.col_ax), dr
+
+    def _ew_exchange(self, east, west):
+        """Exchange tile-boundary strips along the column axis; returns the
+        (received-west, received-east) contributions to add at my east/west
+        boundaries.  Strips always pair within a face, so no masking -- a
+        device with no E (or W) neighbor receives zeros (ppermute default)."""
+        recv_w = lax.ppermute(west, self.col_ax, self.perm_w)   # from my east
+        recv_e = lax.ppermute(east, self.col_ax, self.perm_e)   # from my west
+        return recv_w, recv_e
 
     # ------------------------------------------------------------------ 0-forms
     def _dss0_body(self, v):
-        """v: [..., R, nex, np1*np1] local block (sign-free 0-forms)."""
-        ops, R = self.ops, self.R
-        p, np1, nex = ops.p, ops.p + 1, ops.nex
-        x = v.reshape(*v.shape[:-3], R, nex, np1, np1)
-        d = self._axi()
+        """v: [..., R, C, np1*np1] local tile (sign-free 0-forms)."""
+        ops, R, C = self.ops, self.R, self.C
+        p, np1 = ops.p, ops.p + 1
+        x = v.reshape(*v.shape[:-3], R, C, np1, np1)
+        d, dr = self._dev()
 
-        # in-face E-W (within rows; fully local)
+        # in-tile E-W (within rows; fully local)
         s = x[..., :, :-1, :, p] + x[..., :, 1:, :, 0]
         x = x.at[..., :, :-1, :, p].set(s).at[..., :, 1:, :, 0].set(s)
-        if self.periodic:
+        if self.periodic and self.Dc == 1:
             s = x[..., :, -1, :, p] + x[..., :, 0, :, 0]
             x = x.at[..., :, -1, :, p].set(s).at[..., :, 0, :, 0].set(s)
 
+        # cross-tile E-W column pair via neighbor permutes (completes E-W)
+        if self.Dc > 1:
+            e_strip = x[..., :, C - 1, :, p]          # [..., R, np1]
+            w_strip = x[..., :, 0, :, 0]
+            recv_w, recv_e = self._ew_exchange(e_strip, w_strip)
+            x = x.at[..., :, C - 1, :, p].add(recv_w)
+            x = x.at[..., :, 0, :, 0].add(recv_e)
+
         # in-face N-S, in-block row pairs (masked by same-face)
         if R > 1:
-            m = self.ns_int[d][:, None, None]
+            m = self.ns_int[dr][:, None, None]
             s = x[..., :-1, :, p, :] + x[..., 1:, :, 0, :]
             x = x.at[..., :-1, :, p, :].set(
                 jnp.where(m, s, x[..., :-1, :, p, :]))
@@ -245,22 +298,26 @@ class SpmdDss:
                 jnp.where(m, s, x[..., 1:, :, 0, :]))
 
         # cross-block row pair via neighbor permutes
-        if self.D > 1:
-            n_strip = x[..., R - 1, :, p, :]          # [..., nex, np1]
+        if self.Dr > 1:
+            n_strip = x[..., R - 1, :, p, :]          # [..., C, np1]
             s_strip = x[..., 0, :, 0, :]
-            recv_s = lax.ppermute(s_strip, self.axis, self.perm_dn)
-            recv_n = lax.ppermute(n_strip, self.axis, self.perm_up)
+            recv_s = lax.ppermute(s_strip, self.row_ax, self.perm_dn)
+            recv_n = lax.ppermute(n_strip, self.row_ax, self.perm_up)
             x = x.at[..., R - 1, :, p, :].add(
-                jnp.where(self.snd_up[d], recv_s, 0.0))
+                jnp.where(self.snd_up[dr], recv_s, 0.0))
             x = x.at[..., 0, :, 0, :].add(
-                jnp.where(self.snd_dn[d], recv_n, 0.0))
+                jnp.where(self.snd_dn[dr], recv_n, 0.0))
+        elif self.periodic and R > 1:
+            # box sharded only in columns: N-S wraparound is in-block
+            s = x[..., R - 1, :, p, :] + x[..., 0, :, 0, :]
+            x = x.at[..., R - 1, :, p, :].set(s).at[..., 0, :, 0, :].set(s)
 
         # panel strips + vertices: one psum of the packed boundary
         if not self.periodic and ops.nf > 1:
-            flat = self._flat(x.reshape(*v.shape[:-3], R, nex, np1 * np1))
+            flat = self._flat(x.reshape(*v.shape[:-3], R, C, np1 * np1))
             contrib = self._take(flat, self.exp0[d])
             vcontrib = self._take(flat, self.vidx[d])
-            tot, vtot = lax.psum((contrib, vcontrib), self.axis)
+            tot, vtot = lax.psum((contrib, vcontrib), self.psum_axes)
             T = tot.reshape(*tot.shape[:-1], len(self.sidx), self.L0)
             V = vtot.reshape(*vtot.shape[:-1], 8, 3).sum(-1)     # [..., 8]
 
@@ -284,30 +341,39 @@ class SpmdDss:
             vvals = jnp.broadcast_to(V[..., None],
                                      (*V.shape, 3)).reshape(*V.shape[:-1], -1)
             flat = self._put(flat, self.vidx[d], vvals)
-            x = flat.reshape(*v.shape[:-3], R, nex, np1, np1)
+            x = flat.reshape(*v.shape[:-3], R, C, np1, np1)
 
         return x.reshape(v.shape)
 
     # ------------------------------------------------------------------ 1-forms
     def _dss1_body(self, v):
-        """v: [..., R, nex, 2*n1loc] local block (signed 1-forms)."""
-        ops, R = self.ops, self.R
-        p, np1, nex = ops.p, ops.p + 1, ops.nex
+        """v: [..., R, C, 2*n1loc] local tile (signed 1-forms)."""
+        ops, R, C = self.ops, self.R, self.C
+        p, np1 = ops.p, ops.p + 1
         n1loc = ops.n1loc
-        vx = v[..., :n1loc].reshape(*v.shape[:-1], p, np1)
-        vy = v[..., n1loc:].reshape(*v.shape[:-1], np1, p)
-        d = self._axi()
+        vv = v.reshape(*v.shape[:-3], R, C, self.K1)
+        vx = vv[..., :n1loc].reshape(*vv.shape[:-1], p, np1)
+        vy = vv[..., n1loc:].reshape(*vv.shape[:-1], np1, p)
+        d, dr = self._dev()
 
         # x-family E-W within rows
         s = vx[..., :, :-1, :, p] + vx[..., :, 1:, :, 0]
         vx = vx.at[..., :, :-1, :, p].set(s).at[..., :, 1:, :, 0].set(s)
-        if self.periodic:
+        if self.periodic and self.Dc == 1:
             s = vx[..., :, -1, :, p] + vx[..., :, 0, :, 0]
             vx = vx.at[..., :, -1, :, p].set(s).at[..., :, 0, :, 0].set(s)
 
+        # x-family cross-tile E-W
+        if self.Dc > 1:
+            e_strip = vx[..., :, C - 1, :, p]          # [..., R, p]
+            w_strip = vx[..., :, 0, :, 0]
+            recv_w, recv_e = self._ew_exchange(e_strip, w_strip)
+            vx = vx.at[..., :, C - 1, :, p].add(recv_w)
+            vx = vx.at[..., :, 0, :, 0].add(recv_e)
+
         # y-family N-S in-block
         if R > 1:
-            m = self.ns_int[d][:, None, None]
+            m = self.ns_int[dr][:, None, None]
             s = vy[..., :-1, :, p, :] + vy[..., 1:, :, 0, :]
             vy = vy.at[..., :-1, :, p, :].set(
                 jnp.where(m, s, vy[..., :-1, :, p, :]))
@@ -315,25 +381,29 @@ class SpmdDss:
                 jnp.where(m, s, vy[..., 1:, :, 0, :]))
 
         # y-family cross-block
-        if self.D > 1:
+        if self.Dr > 1:
             n_strip = vy[..., R - 1, :, p, :]
             s_strip = vy[..., 0, :, 0, :]
-            recv_s = lax.ppermute(s_strip, self.axis, self.perm_dn)
-            recv_n = lax.ppermute(n_strip, self.axis, self.perm_up)
+            recv_s = lax.ppermute(s_strip, self.row_ax, self.perm_dn)
+            recv_n = lax.ppermute(n_strip, self.row_ax, self.perm_up)
             vy = vy.at[..., R - 1, :, p, :].add(
-                jnp.where(self.snd_up[d], recv_s, 0.0))
+                jnp.where(self.snd_up[dr], recv_s, 0.0))
             vy = vy.at[..., 0, :, 0, :].add(
-                jnp.where(self.snd_dn[d], recv_n, 0.0))
+                jnp.where(self.snd_dn[dr], recv_n, 0.0))
+        elif self.periodic and R > 1:
+            s = vy[..., R - 1, :, p, :] + vy[..., 0, :, 0, :]
+            vy = vy.at[..., R - 1, :, p, :].set(s).at[..., 0, :, 0, :].set(s)
 
         out = jnp.concatenate(
-            [vx.reshape(*v.shape[:-1], n1loc), vy.reshape(*v.shape[:-1], n1loc)],
+            [vx.reshape(*vv.shape[:-1], n1loc),
+             vy.reshape(*vv.shape[:-1], n1loc)],
             axis=-1)
 
         # panel strips: one psum of the packed boundary
         if not self.periodic and ops.nf > 1:
             flat = self._flat(out)
             contrib = self._take(flat, self.exp1[d])
-            tot = lax.psum(contrib, self.axis)
+            tot = lax.psum(contrib, self.psum_axes)
             T = tot.reshape(*tot.shape[:-1], len(self.sidx), self.L1)
             new = [None] * len(self.sidx)
             for ia, ib, flip, sgn in self.pairs1:
@@ -349,13 +419,20 @@ class SpmdDss:
         return out.reshape(v.shape)
 
     # ------------------------------------------------------------------ API
+    def _blocked(self, vl, K):
+        """[..., N] flat (tile-major) -> [..., Dr*R, Dc*C... ] 2-axis view the
+        shard_map specs partition: [..., Dr, Dc, R, C, K] collapsed to
+        [..., Dr*?, ...].  shard_map wants one array dim per spec axis, so we
+        expose [Dr, Dc*R*C*K0]-style blocks: dim -2 = row blocks, dim -1 =
+        everything within (col blocks x tile x K)."""
+        return vl.reshape(*vl.shape[:-1], self.Dr, self.Dc,
+                          self.R * self.C * K)
+
     def dss0(self, vl):
-        """vl: [..., ln0] flat local 0-form array."""
-        ops = self.ops
-        v = vl.reshape(*vl.shape[:-1], self.rows, ops.nex, self.K0)
+        """vl: [..., ln0] flat local 0-form array (tile-major when Dc > 1)."""
+        v = self._blocked(vl, self.K0)
         return self._dss0_sm(v).reshape(vl.shape)
 
     def dss1(self, vl):
-        ops = self.ops
-        v = vl.reshape(*vl.shape[:-1], self.rows, ops.nex, self.K1)
+        v = self._blocked(vl, self.K1)
         return self._dss1_sm(v).reshape(vl.shape)

@@ -6,6 +6,13 @@ format: header line + [time_days, keh, kev, pe, ie, k2p, p2k, k2i, i2k,
 k2i_z, i2k_z, mass, entr].  Produces the total-drift, partition-difference
 and exchange-power figures.
 
+Column deviation vs the reference: our k2i sums ALL THREE horizontal EC
+pressure-splitting term powers so dIE = dt*(k2i + k2i_z) closes in f64; the
+reference's k2i column (eul/HorizSolve.cpp:704-708) logs only the
+E12 M2h(Pi) theta piece and is several orders smaller.  See
+Euler3D.energetics_ec (mimsem_tpu/models/euler3d.py) for the
+reference-comparable single term.
+
 Usage: python scr/plot_energetics.py output/energetics.dat
 """
 import sys

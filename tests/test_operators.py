@@ -133,3 +133,60 @@ def test_coriolis_projection_exact_enough():
     f0 = ops.proj0(f_f)
     n = dg.err0(ops, f0, f_f)
     assert float(n[1]) < 1e-3
+
+
+def test_m1_up_tau0_is_m1():
+    """The upwinded-TEST-function 1-form mass (Umat::assemble_up,
+    src/Assembly.cpp:127-245) must reduce to the centred (field-weighted)
+    mass exactly at tau=0, and its departure-point tensors must equal the
+    static tables."""
+    ops = setup(2, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    h2 = ops.proj2(h_f)
+    Bx, By = ops.m1_up(u1, 0.0)
+    assert np.allclose(np.asarray(Bx), np.asarray(ops.B1x)[None], atol=1e-14)
+    assert np.allclose(np.asarray(By), np.asarray(ops.B1y)[None], atol=1e-14)
+    a = np.asarray(ops.apply_M1h_up(u1, Bx, By, h2=h2))
+    b = np.asarray(ops.apply_M1(u1, h2=h2))
+    assert np.allclose(a, b, rtol=1e-13, atol=1e-9 * np.abs(b).max())
+
+
+def test_m1_up_consistency_small_tau():
+    """For small tau the upwinded operator is an O(tau) perturbation of M1
+    that still integrates constants exactly on the trial side: row sums
+    against a projected constant field change only at O(tau) * |u|."""
+    ops = setup(2, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    tau = 1e-3
+    Bx, By = ops.m1_up(u1, tau)
+    a = np.asarray(ops.apply_M1h_up(u1, Bx, By))
+    b = np.asarray(ops.apply_M1(u1))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert 0.0 < rel < 0.1, rel
+    # nodal-basis partition of unity: sum_i l_i(x) = 1 at ANY evaluation
+    # point, so the column sums over each x-family nodal index are
+    # tau-independent
+    nx = np.asarray(Bx).reshape(ops.nel, ops.B1x.shape[0], -1)
+    np1 = ops.p + 1
+    s = nx.reshape(nx.shape[0], nx.shape[1], -1, np1).sum(-1)
+    s0 = np.asarray(ops.B1x).reshape(ops.B1x.shape[0], -1, np1).sum(-1)
+    assert np.allclose(s, np.broadcast_to(s0, s.shape), atol=1e-12)
+
+
+def test_supg_time_derivative_term():
+    """apply_R_apvm with q_prev/dt adds the reference SUPG time-derivative
+    correction (src/Assembly.cpp:1903): identical PV fields => identical to
+    plain APVM; differing PV => differs by the tau*(q-q_prev)/dt rotation."""
+    ops = setup(2, 3)
+    u1 = ops.proj1(u_f, v_f, tol=1e-13)
+    q0 = ops.proj0(zeta_f)
+    dq1 = ops.e10(q0)
+    tau, dt = 0.5, 600.0
+    a = np.asarray(ops.apply_R_apvm(q0, u1, dq1, tau, u1))
+    b = np.asarray(ops.apply_R_apvm(q0, u1, dq1, tau, u1, q_prev=q0, dt=dt))
+    assert np.allclose(a, b, atol=1e-12 * max(1.0, np.abs(a).max()))
+    # an O(q) PV tendency over one dt must shift the rotation by O(tau*q)
+    qp = ops.proj0(lambda lon, lat: 2.0 * zeta_f(lon, lat))
+    c = np.asarray(ops.apply_R_apvm(q0, u1, dq1, tau, u1, q_prev=qp, dt=1.0))
+    rel = np.linalg.norm(a - c) / np.linalg.norm(a)
+    assert rel > 0.05, rel
