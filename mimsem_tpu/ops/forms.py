@@ -148,6 +148,8 @@ class SpaceOps:
         a = jnp.asarray(a)
         if a.ndim and a.shape[0] == self.nel:
             return a[self.el_perm]
+        if a.ndim >= 2 and a.shape[-2] == self.nel:   # (..., nel, K) layout
+            return a[..., self.el_perm, :]
         K = a.shape[-1] // self.nel
         v = a.reshape(*a.shape[:-1], self.nel, K)
         return v[..., self.el_perm, :].reshape(a.shape)
@@ -159,6 +161,8 @@ class SpaceOps:
         permutation is active."""
         if self.el_perm_inv is None:
             return vl
+        if vl.ndim >= 2 and vl.shape[-2] == self.nel:  # (..., nel, K) layout
+            return vl[..., self.el_perm_inv, :]
         K = vl.shape[-1] // self.nel
         v = vl.reshape(*vl.shape[:-1], self.nel, K)
         return v[..., self.el_perm_inv, :].reshape(vl.shape)

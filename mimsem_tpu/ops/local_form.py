@@ -69,6 +69,8 @@ class LocalOps(SpaceOps):
         self.mesh = mesh
         self.nf, self.ney, self.nex = nf, ney, nex
         self.periodic = bool(mesh.get('periodic'))
+        import os as _os
+        self.pallas_dss = bool(int(_os.environ.get("MIMSEM_PALLAS_DSS", "0")))
         p = self.p
         self._sh0 = (self.nf, self.ney, self.nex, p + 1, p + 1)
         self._sh1x = (self.nf, self.ney, self.nex, p, p + 1)
@@ -121,6 +123,36 @@ class LocalOps(SpaceOps):
             raise ValueError("el_perm set but owner-computes DSS inactive; "
                              "the structural slicing DSS does not support "
                              "permuted element order")
+
+    def _pallas_dss(self, core, vl, K):
+        """Run a slicing-DSS core as ONE fused Pallas kernel.
+
+        The slicing cores compile under stock XLA to ~50 tiny
+        dynamic-slice/update kernels; at ~4-10 us launch latency each, that
+        is most of the DSS cost on a single chip (SURVEY.md section 7 step 3
+        called for Pallas-fused hot ops).  The whole local array fits VMEM
+        at production sizes (ne=96 2D: ~5 MB), so the kernel loads it once,
+        applies the identical jnp slicing code in-register, and stores it --
+        bit-identical by construction, one launch.  Gated by
+        MIMSEM_PALLAS_DSS=1 / LocalOps(pallas_dss=True); interpret mode on
+        CPU."""
+        from jax.experimental import pallas as pl
+
+        lead = vl.shape[:-1]
+        v2 = vl.reshape(-1, K) if not lead else vl.reshape(*lead, -1, K)
+
+        def kernel(in_ref, out_ref):
+            x = in_ref[...]
+            out_ref[...] = core(x.reshape(-1)).reshape(x.shape)
+
+        interp = jax.devices()[0].platform == "cpu"
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(v2.shape[-2:], v2.dtype),
+            interpret=interp)
+        for _ in lead:
+            call = jax.vmap(call)
+        return call(v2).reshape(vl.shape)
 
     def _build_partner_tables(self, topo: Topology):
         """Flat partner index/sign tables driving the gather DSS.
@@ -324,6 +356,11 @@ class LocalOps(SpaceOps):
         fixed cost; kept for reference."""
         if self.spmd is not None:
             return self.spmd.dss1(vl.reshape(-1)).reshape(vl.shape)
+        if self.pallas_dss:
+            return self._pallas_dss(self._dss1_core, vl, 2 * self.n1loc)
+        return self._dss1_core(vl)
+
+    def _dss1_core(self, vl):
         p, np1 = self.p, self.p + 1
         n1loc = self.n1loc
         v = vl.reshape(self.nel, 2 * n1loc)
@@ -396,6 +433,11 @@ class LocalOps(SpaceOps):
         + cube vertices."""
         if self.spmd is not None:
             return self.spmd.dss0(vl.reshape(-1)).reshape(vl.shape)
+        if self.pallas_dss:
+            return self._pallas_dss(self._dss0_core, vl, (self.p + 1) ** 2)
+        return self._dss0_core(vl)
+
+    def _dss0_core(self, vl):
         p, np1 = self.p, self.p + 1
         v0 = vl.reshape(self._sh0)
         # each direction completes (interior + wrap) before the next starts,

@@ -90,6 +90,26 @@ def test_spmd_dss_bit_exact_2d(kind, tiling):
         np.asarray(ops1.struct_order(jax.jit(ops1.dss1)(v1p))))
 
 
+@pytest.mark.parametrize("kind", ["sphere", "box"])
+def test_pallas_dss_bit_exact(kind):
+    """The single-launch Pallas DSS (LocalOps._pallas_dss; interpret mode on
+    CPU, Mosaic on TPU) must be bit-identical to the slicing DSS -- it runs
+    the SAME core inside one kernel."""
+    ops = _build_ops(4, 3, kind=kind)
+    rng = np.random.default_rng(5)
+    v0 = jnp.asarray(rng.standard_normal(ops.ln0))
+    v1 = jnp.asarray(rng.standard_normal(ops.ln1))
+    r0 = np.asarray(jax.jit(ops.dss0)(v0))
+    r1 = np.asarray(jax.jit(ops.dss1)(v1))
+    ops.pallas_dss = True
+    assert np.array_equal(r0, np.asarray(jax.jit(ops.dss0)(v0)))
+    assert np.array_equal(r1, np.asarray(jax.jit(ops.dss1)(v1)))
+    vb = jnp.asarray(rng.standard_normal((3, ops.ln1)))
+    pb = np.asarray(jax.jit(jax.vmap(ops.dss1))(vb))
+    ops.pallas_dss = False
+    assert np.array_equal(np.asarray(jax.jit(jax.vmap(ops.dss1))(vb)), pb)
+
+
 def test_choose_tiling():
     """Factorization picks valid, most-square tilings and refuses cleanly."""
     assert choose_tiling(8, 24, 4) in ((8, 1), (4, 2), (2, 4))
@@ -200,6 +220,28 @@ def test_spmd_euler3d_step_equivalence():
     b, _ = eul1.step_ec(b, first=True)
     for xa, xb, name in zip(a[:5], b[:5],
                             ("velx", "w", "rho", "rt", "exner")):
+        na = np.linalg.norm(np.asarray(xa).ravel())
+        d = np.linalg.norm((np.asarray(xa) - np.asarray(xb)).ravel())
+        assert d <= 1e-12 * max(na, 1.0), (name, d / max(na, 1.0))
+
+
+@needs8
+def test_spmd_euler3d_step_equivalence_2d():
+    """3D EC Euler step on a 2-D (2, 2) tile mesh == single device: the
+    tile-major element permutation must thread through the vertical-ops
+    levels, the vmapped-over-levels DSS, and the column Newton solve."""
+    from mimsem_tpu.testcases import bubble
+    eul0, st0 = bubble.build(ne=4, p=2, nk=4, dt=0.5)
+    eul1, st1 = bubble.build(ne=4, p=2, nk=4, dt=0.5,
+                             el_sharding=element_sharding(make_mesh2(2, 2)))
+    assert eul1.ops.spmd is not None and eul1.ops.spmd.Dc == 2
+    a = eul0.init_state_ec(*st0[:5])
+    b = eul1.init_state_ec(*st1[:5])
+    a, _ = eul0.step_ec(a, first=True)
+    b, _ = eul1.step_ec(b, first=True)
+    for xa, xb, name in zip(a[:5], b[:5],
+                            ("velx", "w", "rho", "rt", "exner")):
+        xb = eul1.ops.struct_order(xb)
         na = np.linalg.norm(np.asarray(xa).ravel())
         d = np.linalg.norm((np.asarray(xa) - np.asarray(xb)).ravel())
         assert d <= 1e-12 * max(na, 1.0), (name, d / max(na, 1.0))
