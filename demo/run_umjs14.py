@@ -79,8 +79,9 @@ def main():
         # exactly (bit-exact round-trip: tests/test_restart_convergence.py)
         cstep, f = mio.load_checkpoint(ckpt_path)
         state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
-        e0 = dict(zip(hdr, np.asarray(f["e0"], np.float64)))
-        ie_prev = float(f["ie_prev"])
+        e0v = np.asarray(f["e0"], np.float64)
+        e0 = None if np.isnan(e0v).all() else dict(zip(hdr, e0v))
+        ie_prev = None if np.isnan(f["ie_prev"]) else float(f["ie_prev"])
         exch_int = jnp.asarray(f["exch_int"])
         step = cstep
         print(f"resumed from {ckpt_path} at step {step}", flush=True)
@@ -114,7 +115,25 @@ def main():
             state, aux = run_ec(state, sub)
             exch_int = exch_int + aux["exch_int"]
             done += sub
-        jax.block_until_ready(state[0])
+            # sync + progress line per sub-chunk (~1 per 100 s of compute):
+            # localizes tunnel/worker crashes to a step range and costs one
+            # tunnel round-trip
+            jax.block_until_ready(state[0])
+            print(f"  .. step {step + done}  "
+                  f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s",
+                  flush=True)
+            # mid-interval safety checkpoint: the tunneled TPU worker has
+            # been seen crashing between dumps; cap the recompute a
+            # supervisor retry pays at ~4 sub-chunks
+            if done % (4 * max_chunk) == 0 and step + done < nsteps:
+                mio.save_checkpoint(
+                    ckpt_path, step + done,
+                    **dict(zip(skeys, state)),
+                    e0=(np.full(len(hdr), np.nan) if e0 is None else
+                        np.asarray([e0[k] for k in hdr], np.float64)),
+                    ie_prev=np.float64(np.nan if ie_prev is None
+                                       else ie_prev),
+                    exch_int=np.asarray(exch_int))
         t_run += time.time() - t0
         step += chunk
         if step % dump_every == 0:
