@@ -59,7 +59,11 @@ def main():
 
     from mimsem_tpu.testcases import umjs14
     t0 = time.time()
-    eul, state = umjs14.build(ne=ne, p=3, nk=nk, dt=dt, dtype=jnp.float32)
+    # stability experiment knob: more (chord-)Newton iterations per
+    # vertical solve if the wave-breaking phase ever diverges
+    nit = int(os.environ.get("UMJS14_NEWTON_ITERS", "4"))
+    eul, state = umjs14.build(ne=ne, p=3, nk=nk, dt=dt, dtype=jnp.float32,
+                              newton_iters=nit)
     ndofs = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
     print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs}",
           flush=True)
@@ -85,6 +89,12 @@ def main():
         exch_int = jnp.asarray(f["exch_int"])
         step = cstep
         print(f"resumed from {ckpt_path} at step {step}", flush=True)
+        if step >= nsteps:
+            # supervisor re-entry after a completed run: nothing to do
+            # (avoids a divide-by-zero in the wall-clock summary)
+            print(f"run already complete ({step}/{nsteps} steps); see "
+                  f"{outdir}/summary.txt", flush=True)
+            return
     else:
         # first step eagerly (leapfrog start), then ONE lax.scan dispatch per
         # dump interval: per-step python dispatch over the tunneled TPU is
@@ -119,9 +129,22 @@ def main():
             # localizes tunnel/worker crashes to a step range and costs one
             # tunnel round-trip
             jax.block_until_ready(state[0])
+            nrm = float(np.max(np.asarray(aux["newton_norms"])))
             print(f"  .. step {step + done}  "
-                  f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s",
-                  flush=True)
+                  f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s"
+                  f"  |d| {nrm:.1e}", flush=True)
+            if not np.isfinite(nrm):
+                # a NaN trajectory is deterministic: resuming from the last
+                # checkpoint replays it, so signal the supervisor to STOP
+                # (exit 42) instead of looping; keep the blown state for
+                # forensics
+                mio.save_checkpoint(
+                    os.path.join(outdir, "nan_state.npz"), step + done,
+                    **dict(zip(skeys, state)))
+                print(f"!! NaN in Newton increment norms at step "
+                      f"{step + done}; aborting (see nan_state.npz)",
+                      flush=True)
+                sys.exit(42)
             # mid-interval safety checkpoint: the tunneled TPU worker has
             # been seen crashing between dumps; cap the recompute a
             # supervisor retry pays at ~4 sub-chunks

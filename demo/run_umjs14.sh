@@ -12,6 +12,11 @@ tries=0
 while [ "$tries" -lt 24 ]; do
     python demo/run_umjs14.py "$out" "${2:-12}" "${3:-30}" "${4:-12}" \
         "${5:-75}" "${6:-24}" && exit 0
+    rc=$?
+    if [ "$rc" -eq 42 ]; then
+        echo "== NaN abort (deterministic blowup): not retrying" >&2
+        exit 42
+    fi
     tries=$((tries + 1))
     echo "== driver exited nonzero (attempt $tries); resuming from" \
          "$out/checkpoint.npz in 30 s" >&2

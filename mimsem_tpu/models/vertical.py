@@ -283,8 +283,15 @@ class VerticalOps:
     def rho_exp_eta(self, rho, eta):
         """Theta = VB^-1 proj[ rho_phys exp(eta_phys) ]: the back-substitution
         of the log-entropy variable (AssembleConstWithRhoExpEta,
-        eul/VertOps.cpp:1257-1305; used at eul/VertSolve.cpp:1864-1873)."""
-        val = self.phys_layer(rho) * jnp.exp(self.phys_layer(eta))
+        eul/VertOps.cpp:1257-1305; used at eul/VertSolve.cpp:1864-1873).
+
+        eta (= log theta) is clamped to +-30 before the exp: physical values
+        are ~5.5-6.5, so the clamp is inactive on any healthy state, but a
+        transiently bad Newton increment can no longer overflow exp in f32
+        and cascade a recoverable iterate into NaN (the log side is floored
+        the same way in log_theta_plus_eta/eos_residual)."""
+        val = self.phys_layer(rho) * jnp.exp(
+            jnp.clip(self.phys_layer(eta), -30.0, 30.0))
         return self._project_layer(val)
 
     def eos_block(self, x):
