@@ -61,11 +61,18 @@ def categorize(name):
 
 
 def parse_trace(trace_dir):
-    """Aggregate device-side 'X' (complete) events by kernel-name category.
+    """Aggregate device-side 'X' (complete) events by kernel-name category,
+    counting LEAF events only.
 
     jax.profiler writes plugins/profile/<ts>/*.trace.json.gz in perfetto
     JSON; device lanes are the pids whose process_name metadata mentions
-    TPU/device."""
+    TPU/device.  Device timelines are HIERARCHICAL: a module-level event
+    (jit__step_impl) contains while.N loop events which contain the
+    per-iteration kernels, all as 'X' events on the same tid.  Summing every
+    event double/triple-counts; we sort each (pid, tid) lane by start time
+    and attribute time only to events with no child inside them (a parent's
+    self-time outside its children is loop/branch sequencing overhead and is
+    reported as 'xla-control')."""
     files = sorted(glob.glob(os.path.join(
         trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not files:
@@ -74,24 +81,64 @@ def parse_trace(trace_dir):
         tr = json.load(f)
     events = tr["traceEvents"]
     dev_pids = set()
+    tnames = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             nm = e.get("args", {}).get("name", "")
             if re.search(r"TPU|/device|Device", nm) and "CPU" not in nm:
                 dev_pids.add(e["pid"])
-    agg, kernels, total = {}, 0, 0.0
-    by_name = {}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid", 0))] = \
+                e.get("args", {}).get("name", "")
+    # the 'XLA Modules' lane holds one whole-executable event per dispatch
+    # (wall time of the module); kernels live on the 'XLA Ops' lanes.  The
+    # module lane is the busy-time denominator, NOT part of the kernel sum
+    # (verified: sum of Ops-lane leaves == module event duration).
+    lanes, module_us = {}, 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            dur = float(e.get("dur", 0.0))
-            nm = e.get("name", "")
-            cat = categorize(nm)
-            agg[cat] = agg.get(cat, 0.0) + dur
-            by_name[nm] = by_name.get(nm, 0.0) + dur
-            kernels += 1
-            total += dur
+            lane = (e["pid"], e.get("tid", 0))
+            if "Module" in tnames.get(lane, ""):
+                module_us += float(e.get("dur", 0.0))
+                continue
+            lanes.setdefault(lane, []).append(
+                (float(e["ts"]), float(e.get("dur", 0.0)),
+                 e.get("name", "")))
+    agg, kernels, total = {}, 0, 0.0
+    by_name = {}
+    for lane in lanes.values():
+        # sort by start asc, then duration desc so parents precede children
+        lane.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # (end, child_time_accum_index into rec)
+        rec = []    # mutable [name, dur, child_time]
+        for ts, dur, nm in lane:
+            while stack and ts >= stack[-1][0] - 1e-9:
+                stack.pop()
+            if stack:
+                rec[stack[-1][1]][2] += dur
+            rec.append([nm, dur, 0.0])
+            stack.append((ts + dur, len(rec) - 1))
+        for nm, dur, child in rec:
+            self_us = max(dur - child, 0.0)
+            if self_us <= 0.0:
+                continue
+            cat = categorize(nm) if child == 0.0 else "xla-control"
+            nm_key = nm if child == 0.0 else f"[self] {nm}"
+            agg[cat] = agg.get(cat, 0.0) + self_us
+            by_name[nm_key] = by_name.get(nm_key, 0.0) + self_us
+            if child == 0.0:
+                kernels += 1
+            total += self_us
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:12]
-    return dict(total_us=total, kernels=kernels, by_cat=agg, top=top)
+    # aggregate by base op name too (strip .NNN instance suffixes) -- the
+    # per-instance top list hides e.g. 28k distinct dynamic-update-slice.N
+    by_base = {}
+    for nm, us in by_name.items():
+        b = re.sub(r"[.\d]+$", "", nm)
+        by_base[b] = by_base.get(b, 0.0) + us
+    top_base = sorted(by_base.items(), key=lambda kv: -kv[1])[:10]
+    return dict(total_us=total, kernels=kernels, by_cat=agg, top=top,
+                top_base=top_base, module_us=module_us)
 
 
 def cost(jitted, *args):
@@ -153,15 +200,15 @@ def run_config(name):
                t_compute_ms=flops / PEAK_F32 * 1e3,
                t_bw_ms=byts / HBM_BW * 1e3)
     if prof and prof["total_us"] > 0:
-        per_step_us = prof["total_us"] / steps
-        res["device_busy_ms_per_step"] = per_step_us / 1e3
+        busy = prof["module_us"] or prof["total_us"]
+        res["device_busy_ms_per_step"] = busy / steps / 1e3
         res["kernels_per_step"] = prof["kernels"] / steps
         res["t_launch_ms"] = prof["kernels"] / steps * LAUNCH_US / 1e3
         res["by_cat_pct"] = {k: round(100 * v / prof["total_us"], 1)
                              for k, v in sorted(prof["by_cat"].items(),
                                                 key=lambda kv: -kv[1])}
-        res["top_kernels"] = [(n[:90], round(d / steps, 1))
-                              for n, d in prof["top"]]
+        res["top_ops"] = [(n, round(d / steps, 1))
+                          for n, d in prof["top_base"]]
     return res
 
 
