@@ -214,11 +214,22 @@ def run_config(name):
     return res
 
 
+MARKER = "<!-- generated: measured configs below (scripts/roofline.py) -->"
+
+
 def write_md(out, path):
-    L = ["# Roofline / kernel-time breakdown (measured on TPU v5e)", "",
-         "Produced by `python scripts/roofline.py --write` (VERDICT r2 weak"
-         " #1: report MFU *with* a breakdown of where the ceiling is).",
-         "",
+    # preserve any hand-authored analysis above the marker
+    pre = ""
+    if os.path.exists(path):
+        txt = open(path).read()
+        if MARKER in txt:
+            pre = txt.split(MARKER)[0]
+    if not pre:
+        pre = ("# Roofline / kernel-time breakdown (measured on TPU v5e)\n\n"
+               "Produced by `python scripts/roofline.py --write` (VERDICT r2"
+               " weak #1: report MFU *with* a breakdown of where the ceiling"
+               " is).\n\n")
+    L = [pre.rstrip(), "", MARKER, "",
          "For each production step the three candidate ceilings are",
          "`t_compute = flops/peak_f32_mxu`, `t_bw = bytes/hbm_bw`, and",
          "`t_launch = kernels x ~2 us` (on-device sequencing inside a scan);",
