@@ -68,11 +68,19 @@ def main():
         t_run += time.time() - t0
         step = 1
 
+    # one jitted scan per sub-chunk (<=240 steps, ~30 s of device time):
+    # the tunneled TPU intermittently kills very long single dispatches
+    run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
+    max_chunk = int(os.environ.get("HS_MAX_CHUNK", "240"))
     while step < nsteps:
         chunk = min(dump_every - (step % dump_every) or dump_every,
                     nsteps - step)
         t0 = time.time()
-        state, aux = eul.run_steps_ec(state, chunk)
+        done = 0
+        while done < chunk:
+            sub = min(chunk - done, max_chunk)
+            state, aux = run_ec(state, sub)
+            done += sub
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step += chunk
