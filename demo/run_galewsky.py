@@ -37,6 +37,11 @@ from mimsem_tpu.utils import io as mio
 
 def main():
     q_block = "--q-block" in sys.argv
+    # --f64: full-precision science run (CPU; TPU f64 is emulated/slow) --
+    # conservation oracles then sit at solver tolerance instead of f32 noise
+    f64 = "--f64" in sys.argv
+    if f64:
+        jax.config.update("jax_enable_x64", True)
     argv = [a for a in sys.argv if not a.startswith("--")]
     outdir = argv[1] if len(argv) > 1 else "demo/galewsky"
     ne = int(argv[2]) if len(argv) > 2 else 24
@@ -46,7 +51,8 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     t0 = time.time()
-    sw, u, hp = galewsky.build(ne=ne, p=3, dt=dt, dtype=jnp.float32,
+    sw, u, hp = galewsky.build(ne=ne, p=3, dt=dt,
+                               dtype=jnp.float64 if f64 else jnp.float32,
                                q_block=q_block)
     if q_block:
         print("PV: exact-enstrophy 2x2 block solve (q_block)", flush=True)
