@@ -42,6 +42,10 @@ def main():
     f64 = "--f64" in sys.argv
     if f64:
         jax.config.update("jax_enable_x64", True)
+    # Picard iterations (reference production: 2).  The q_block total-energy
+    # oracle is Picard-convergence-limited (DESIGN.md): 4-6 iterations take
+    # the 5-day f64 energy drift from ~1e-6 to ~1e-10.
+    nits = int(os.environ.get("MIMSEM_SW_NITS", "2"))
     argv = [a for a in sys.argv if not a.startswith("--")]
     outdir = argv[1] if len(argv) > 1 else "demo/galewsky"
     ne = int(argv[2]) if len(argv) > 2 else 24
@@ -53,7 +57,7 @@ def main():
     t0 = time.time()
     sw, u, hp = galewsky.build(ne=ne, p=3, dt=dt,
                                dtype=jnp.float64 if f64 else jnp.float32,
-                               q_block=q_block)
+                               q_block=q_block, nits=nits)
     if q_block:
         print("PV: exact-enstrophy 2x2 block solve (q_block)", flush=True)
     print(f"build {time.time()-t0:.1f}s  ndofs={sw.ops.n1 + sw.ops.n2}", flush=True)
