@@ -56,7 +56,7 @@ export MIMSEM_PALLAS_DSS=$PD
 
 log "UMJS14 window 1 (<=90 min)"
 rm -f demo/umjs14/*    # fresh 12-day run: clear the restored r2 gallery
-timeout 5400 sh demo/run_umjs14.sh demo/umjs14 12 30 12 75 24 \
+timeout 5400 sh demo/run_umjs14.sh demo/umjs14 12 30 12 75 12 \
     > /tmp/q_umjs14.log 2>&1
 log "window 1 rc=$? (124 = window elapsed, checkpoint preserved)"
 tail -3 /tmp/q_umjs14.log
@@ -72,7 +72,7 @@ log "bench rc=$?"
 tail -1 /tmp/q_bench.log
 
 log "UMJS14 window 2 (resume, unbounded)"
-sh demo/run_umjs14.sh demo/umjs14 12 30 12 75 24 >> /tmp/q_umjs14.log 2>&1 &
+sh demo/run_umjs14.sh demo/umjs14 12 30 12 75 12 >> /tmp/q_umjs14.log 2>&1 &
 SUP=$!
 sh scripts/umjs_watchdog.sh "$SUP" /tmp/q_umjs14.log > /tmp/umjs_watchdog.log 2>&1 &
 log "supervisor pid $SUP; staged sequence done"
