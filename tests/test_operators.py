@@ -190,3 +190,40 @@ def test_supg_time_derivative_term():
     c = np.asarray(ops.apply_R_apvm(q0, u1, dq1, tau, u1, q_prev=qp, dt=1.0))
     rel = np.linalg.norm(a - c) / np.linalg.norm(a)
     assert rel > 0.05, rel
+
+
+def test_discrete_leibniz_identity_quadrature_limited():
+    """Structural identity behind enstrophy budgets (see DESIGN.md q_block):
+
+        <g, E01 R(q) F> + <q, E01 R(g) F>  =  <g, M0(divF) q> + O(quad)
+
+    the discrete analogue of  int g grad(q).F + q grad(g).F = -int g q divF
+    (sign folded into this code's e01 = -E10^T convention).  It holds only
+    to QUADRATURE accuracy for deg-p GLL (the triple product is degree
+    3p+1), which is exactly why the trapezoidal q_block PV conserves energy
+    but not enstrophy; the defect must converge out at high order.
+    """
+    def fields(ops):
+        g = ops.proj0(lambda lon, lat:
+                      jnp.sin(2 * lon) * jnp.cos(lat) ** 2
+                      + 0.3 * jnp.sin(lat))
+        q = ops.proj0(lambda lon, lat:
+                      jnp.cos(3 * lon) * jnp.sin(lat) * jnp.cos(lat) + 0.1)
+        F = ops.proj1(lambda lon, lat: jnp.cos(lat) * jnp.sin(lon + lat),
+                      lambda lon, lat: jnp.sin(2 * lat) * jnp.cos(lon))
+        return g, q, F
+
+    def defect(ne):
+        ops = setup(ne, 3)
+        g, q, F = fields(ops)
+        lhs = (ops.dot0(g, ops.e01(ops.apply_R(q, F)))
+               + ops.dot0(q, ops.e01(ops.apply_R(g, F))))
+        rhs = ops.dot0(g, ops.apply_M0(
+            q, weight_q=ops.interp2_phys(ops.e21(F))))
+        return abs(float(lhs - rhs)) / max(abs(float(lhs)),
+                                           abs(float(rhs)))
+
+    d3, d6 = defect(3), defect(6)
+    # measured (f64): 1.77e-2 at ne=3 -> 2.58e-4 at ne=6 (~6th order)
+    assert d3 < 0.05, d3
+    assert d6 < d3 / 16.0, (d3, d6)
