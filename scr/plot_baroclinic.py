@@ -51,11 +51,15 @@ def main():
     ap.add_argument("path")
     ap.add_argument("--level", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dump-hours", type=float, default=24.0,
+                    help="hours of simulated time per dump index "
+                         "(filename index * dump_hours / 24 = day label)")
     args = ap.parse_args()
     d = np.load(args.path)
     k = args.level
     lon, lat = d["lon"], d["lat"]
-    day = os.path.basename(args.path).split("_")[1].split(".")[0]
+    idx = int(os.path.basename(args.path).split("_")[1].split(".")[0])
+    day = idx * args.dump_hours / 24.0
 
     gl, gp, TH = regrid(lon, lat, d["theta"][k])
     _, _, U = regrid(lon, lat, d["u_x"][k])
@@ -74,7 +78,7 @@ def main():
     im0 = axs[0].pcolormesh(np.rad2deg(gl), np.rad2deg(gp[band]),
                             zeta[band], cmap="RdBu_r",
                             vmin=-zm, vmax=zm, shading="auto")
-    axs[0].set_title(f"relative vorticity, level {k} (day {int(day)})")
+    axs[0].set_title(f"relative vorticity, level {k} (day {day:g})")
     fig.colorbar(im0, ax=axs[0], label="1/s")
     im1 = axs[1].pcolormesh(np.rad2deg(gl), np.rad2deg(gp[band]),
                             TH[band], cmap="turbo", shading="auto")
