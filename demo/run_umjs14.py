@@ -21,6 +21,7 @@ upwinding are intentionally dissipative), entropy drift of the same order.
 
 Usage: python demo/run_umjs14.py [outdir] [ne] [nk] [days] [dt] [dump_hours]
 """
+import json
 import os
 import sys
 import time
@@ -87,6 +88,7 @@ def main():
         e0 = None if np.isnan(e0v).all() else dict(zip(hdr, e0v))
         ie_prev = None if np.isnan(f["ie_prev"]) else float(f["ie_prev"])
         exch_int = jnp.asarray(f["exch_int"])
+        t_run = float(f["t_run"]) if "t_run" in f else 0.0
         step = cstep
         print(f"resumed from {ckpt_path} at step {step}", flush=True)
         if step >= nsteps:
@@ -105,6 +107,14 @@ def main():
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step = 1
+        print(f"[{time.strftime('%H:%M:%S')}] step 1 (leapfrog start) done "
+              f"in {t_run:.1f}s", flush=True)
+        # bank step 1 immediately: on the crash-looping tunnel every retry
+        # otherwise repays the leapfrog-start compile + dispatch
+        mio.save_checkpoint(
+            ckpt_path, step, **dict(zip(skeys, state)),
+            e0=np.full(len(hdr), np.nan), ie_prev=np.float64(np.nan),
+            exch_int=np.asarray(exch_int), t_run=np.float64(t_run))
     # One jitted scan per sub-chunk.  Sub-chunking (default 96 steps, ~1 min
     # of device time) bounds the duration of a single XLA execution: the
     # tunneled TPU intermittently kills very long dispatches with
@@ -114,7 +124,30 @@ def main():
     # (demo/run_umjs14.sh) resumes from the last checkpoint if a dispatch
     # still dies.
     run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
-    max_chunk = int(os.environ.get("UMJS14_MAX_CHUNK", "96"))
+    # 2026-08-18: the tunnel entered a phase where even 96-step (~1 min) EC
+    # dispatches die with UNAVAILABLE while short SW dispatches run fine;
+    # checkpoints after every synced sub-chunk make progress monotonic (a
+    # retry costs the rebuild, never recompute), and the sub-chunk length
+    # self-tunes across supervisor retries via a marker file: halve after a
+    # no-progress crash (probe the tunnel's dispatch-kill threshold), double
+    # back after a full dump interval of clean dispatches.
+    max_chunk = int(os.environ.get("UMJS14_MAX_CHUNK", "24"))
+    marker = os.path.join(outdir, "tuner.json")
+    try:
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m["step"] >= step:
+            max_chunk = max(6, m["chunk"] // 2)
+        elif step - m["step"] >= dump_every:
+            max_chunk = min(96, m["chunk"] * 2)
+        else:
+            max_chunk = m["chunk"]
+    except Exception:
+        pass
+    with open(marker, "w") as fh:
+        json.dump(dict(step=step, chunk=max_chunk), fh)
+    print(f"sub-chunk {max_chunk} steps", flush=True)
+    t_saved = 0.0
     while step < nsteps:
         chunk = min(dump_every - (step % dump_every) or dump_every,
                     nsteps - step)
@@ -130,7 +163,7 @@ def main():
             # tunnel round-trip
             jax.block_until_ready(state[0])
             nrm = float(np.max(np.asarray(aux["newton_norms"])))
-            print(f"  .. step {step + done}  "
+            print(f"  [{time.strftime('%H:%M:%S')}] step {step + done}  "
                   f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s"
                   f"  |d| {nrm:.1e}", flush=True)
             if not np.isfinite(nrm):
@@ -145,10 +178,12 @@ def main():
                       f"{step + done}; aborting (see nan_state.npz)",
                       flush=True)
                 sys.exit(42)
-            # mid-interval safety checkpoint: the tunneled TPU worker has
-            # been seen crashing between dumps; cap the recompute a
-            # supervisor retry pays at ~4 sub-chunks
-            if done % (4 * max_chunk) == 0 and step + done < nsteps:
+            # safety checkpoint after synced sub-chunks (>=20 s apart): the
+            # tunneled TPU worker crash-loops for stretches at a time, so a
+            # retry must only pay the rebuild, never recompute (~2 s to
+            # write the ~50 MB npz vs ~3 min per rebuild)
+            if step + done < nsteps and time.time() - t_saved > 20.0:
+                t_saved = time.time()
                 mio.save_checkpoint(
                     ckpt_path, step + done,
                     **dict(zip(skeys, state)),
@@ -156,7 +191,8 @@ def main():
                         np.asarray([e0[k] for k in hdr], np.float64)),
                     ie_prev=np.float64(np.nan if ie_prev is None
                                        else ie_prev),
-                    exch_int=np.asarray(exch_int))
+                    exch_int=np.asarray(exch_int),
+                    t_run=np.float64(t_run + time.time() - t0))
         t_run += time.time() - t0
         step += chunk
         if step % dump_every == 0:
@@ -198,7 +234,7 @@ def main():
                 e0=np.asarray([e0[k] for k in hdr], np.float64),
                 ie_prev=np.float64(ie_prev if ie_prev is not None
                                    else e["ie"]),
-                exch_int=np.asarray(exch_int))
+                exch_int=np.asarray(exch_int), t_run=np.float64(t_run))
 
     velx, w, rho, rt, exner = state[:5]
     e1 = eul.energetics_ec(velx, w, rho, rt, exner)

@@ -93,10 +93,17 @@ def append_conservation(path, time_s, drifts: dict, header=None):
 
 
 def save_checkpoint(path, step, **fields):
-    """State dump for restart (the analogue of the .vec dumps)."""
+    """State dump for restart (the analogue of the .vec dumps).
+
+    Atomic (tmp + os.replace): production drivers checkpoint after every
+    sub-chunk on a crash-prone tunneled TPU, and a checkpoint truncated by a
+    mid-write crash would wedge the resume loop.  Uncompressed: zlib on the
+    ~50 MB f32 state costs seconds per save on a 1-core host."""
     _ensure(os.path.dirname(path) or ".")
-    np.savez_compressed(path, __step=step,
-                        **{k: np.asarray(v) for k, v in fields.items()})
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __step=step,
+             **{k: np.asarray(v) for k, v in fields.items()})
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):
