@@ -124,35 +124,190 @@ class LocalOps(SpaceOps):
                              "the structural slicing DSS does not support "
                              "permuted element order")
 
-    def _pallas_dss(self, core, vl, K):
-        """Run a slicing-DSS core as ONE fused Pallas kernel.
+    # ------------------------------------------------------------- pallas DSS
+    # Single-launch fused DSS (SURVEY.md section 7 step 3): the slicing cores
+    # compile under stock XLA to ~50 tiny dynamic-slice/update kernels; at
+    # ~4-10 us launch latency each that is most of the DSS cost on a single
+    # chip (ROOFLINE.md).  The whole local array fits VMEM at production
+    # sizes (ne=96 2D: ~5 MB), so ONE kernel loads it, applies the identical
+    # slice arithmetic in-register, and stores it -- bit-identical additions
+    # by construction.  Gated by MIMSEM_PALLAS_DSS=1 / LocalOps(
+    # pallas_dss=True); interpret mode on CPU.
+    #
+    # Mosaic (Pallas TPU) cannot lower the functional slicing cores directly:
+    # value-level `.at[].set` traces to the scatter primitive,
+    # `lax.dynamic_update_slice` on values and `lax.rev` ([::-1]) are
+    # unimplemented, and rebuilding sublanes by concatenating lane slices
+    # aborts the compiler (all probed on v5e).  The kernels below therefore
+    # mirror the cores in REF style: sequential in-place stores on the output
+    # ref (mixed int/slice ref stores lower fine), flips as same-axis
+    # concatenations of unit slices, cube-vertex fixups as (1,..,1) box
+    # reads/stores, and 0-form canonical strips kept 2-D (1, L) with per-row
+    # write-back.
 
-        The slicing cores compile under stock XLA to ~50 tiny
-        dynamic-slice/update kernels; at ~4-10 us launch latency each, that
-        is most of the DSS cost on a single chip (SURVEY.md section 7 step 3
-        called for Pallas-fused hot ops).  The whole local array fits VMEM
-        at production sizes (ne=96 2D: ~5 MB), so the kernel loads it once,
-        applies the identical jnp slicing code in-register, and stores it --
-        bit-identical by construction, one launch.  Gated by
-        MIMSEM_PALLAS_DSS=1 / LocalOps(pallas_dss=True); interpret mode on
-        CPU."""
+    @staticmethod
+    def _kflip2(x):
+        """[::-1, ::-1] of a small 2-D block, Mosaic-safe (concat of unit
+        slices along the SAME axis; lax.rev is unimplemented in Mosaic)."""
+        n0, n1 = x.shape
+        x = jnp.concatenate([x[n0 - 1 - r:n0 - r] for r in range(n0)], axis=0)
+        return jnp.concatenate([x[:, n1 - 1 - c:n1 - c] for c in range(n1)],
+                               axis=1)
+
+    @staticmethod
+    def _kflip_lane(x):
+        """[:, ::-1] of a (1, L) strip, Mosaic-safe."""
+        L = x.shape[1]
+        return jnp.concatenate([x[:, L - 1 - c:L - c] for c in range(L)],
+                               axis=1)
+
+    def _pallas_wrap(self, kernel, parts):
+        """vmap-over-lead-dims pallas_call of `kernel` over same-shaped
+        in/out parts (list of 5-D arrays)."""
         from jax.experimental import pallas as pl
-
-        lead = vl.shape[:-1]
-        v2 = vl.reshape(-1, K) if not lead else vl.reshape(*lead, -1, K)
-
-        def kernel(in_ref, out_ref):
-            x = in_ref[...]
-            out_ref[...] = core(x.reshape(-1)).reshape(x.shape)
-
         interp = jax.devices()[0].platform == "cpu"
         call = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct(v2.shape[-2:], v2.dtype),
+            out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts],
             interpret=interp)
+        return call(*parts)
+
+    def _dss1_pallas(self, vl):
+        n1loc = self.n1loc
+        lead = vl.shape[:-1]
+        v = vl.reshape(*lead, self.nel, 2 * n1loc)
+        v1x = v[..., :n1loc].reshape(*lead, *self._sh1x)
+        v1y = v[..., n1loc:].reshape(*lead, *self._sh1y)
+        run = lambda a, b: self._pallas_wrap(self._dss1_kernel, [a, b])
         for _ in lead:
-            call = jax.vmap(call)
-        return call(v2).reshape(vl.shape)
+            run = jax.vmap(run)
+        ox, oy = run(v1x, v1y)
+        out = jnp.concatenate([ox.reshape(*lead, self.nel, n1loc),
+                               oy.reshape(*lead, self.nel, n1loc)], axis=-1)
+        return out.reshape(vl.shape)
+
+    def _dss1_kernel(self, ix, iy, ox, oy):
+        p, ne = self.p, self.nex
+        ox[...] = ix[...]
+        oy[...] = iy[...]
+        s = ox[:, :, :-1, :, p] + ox[:, :, 1:, :, 0]
+        ox[:, :, :-1, :, p] = s
+        ox[:, :, 1:, :, 0] = s
+        s = oy[:, :-1, :, p, :] + oy[:, 1:, :, 0, :]
+        oy[:, :-1, :, p, :] = s
+        oy[:, 1:, :, 0, :] = s
+        if self.periodic:
+            s = ox[:, :, ne - 1, :, p] + ox[:, :, 0, :, 0]
+            ox[:, :, ne - 1, :, p] = s
+            ox[:, :, 0, :, 0] = s
+            s = oy[:, ne - 1, :, p, :] + oy[:, 0, :, 0, :]
+            oy[:, ne - 1, :, p, :] = s
+            oy[:, 0, :, 0, :] = s
+            return
+        def get(key):
+            f, side = key
+            if side == 'E':
+                return ox[f, :, ne - 1, :, p]
+            if side == 'W':
+                return ox[f, :, 0, :, 0]
+            if side == 'N':
+                return oy[f, ne - 1, :, p, :]
+            return oy[f, 0, :, 0, :]
+        def put(key, val):
+            f, side = key
+            if side == 'E':
+                ox[f, :, ne - 1, :, p] = val
+            elif side == 'W':
+                ox[f, :, 0, :, 0] = val
+            elif side == 'N':
+                oy[f, ne - 1, :, p, :] = val
+            else:
+                oy[f, 0, :, 0, :] = val
+        for ka, kb, flip, sgn in self.meta.pairs1:
+            a = get(ka)
+            b = get(kb)
+            bb = self._kflip2(b) if flip else b
+            t = a + sgn * bb
+            put(ka, t)
+            put(kb, sgn * (self._kflip2(t) if flip else t))
+
+    def _dss0_pallas(self, vl):
+        lead = vl.shape[:-1]
+        v0 = vl.reshape(*lead, *self._sh0)
+        run = lambda a: self._pallas_wrap(self._dss0_kernel, [a])[0]
+        for _ in lead:
+            run = jax.vmap(run)
+        return run(v0).reshape(vl.shape)
+
+    def _dss0_kernel(self, i0, o0):
+        p, ne = self.p, self.nex
+        o0[...] = i0[...]
+        # each direction completes before the next starts (matches
+        # _dss0_core / the SPMD DSS bit-for-bit)
+        s = o0[:, :, :-1, :, p] + o0[:, :, 1:, :, 0]
+        o0[:, :, :-1, :, p] = s
+        o0[:, :, 1:, :, 0] = s
+        if self.periodic:
+            s = o0[:, :, ne - 1, :, p] + o0[:, :, 0, :, 0]
+            o0[:, :, ne - 1, :, p] = s
+            o0[:, :, 0, :, 0] = s
+        s = o0[:, :-1, :, p, :] + o0[:, 1:, :, 0, :]
+        o0[:, :-1, :, p, :] = s
+        o0[:, 1:, :, 0, :] = s
+        if self.periodic:
+            s = o0[:, ne - 1, :, p, :] + o0[:, 0, :, 0, :]
+            o0[:, ne - 1, :, p, :] = s
+            o0[:, 0, :, 0, :] = s
+            return
+        def get(key):
+            """Canonical (1, ne*p+1) strip, lane-major.  Each piece is a
+            DIRECT ref load (offset-0 layout): Mosaic's concatenate rejects
+            inputs whose non-concat-dim register offsets differ, which is
+            what slicing a single loaded (ne, p+1) block produces."""
+            f, side = key
+            if side == 'E':
+                pieces = [o0[f, r:r + 1, ne - 1, :p, p] for r in range(ne)] \
+                    + [o0[f, ne - 1:ne, ne - 1, p:, p]]
+            elif side == 'W':
+                pieces = [o0[f, r:r + 1, 0, :p, 0] for r in range(ne)] \
+                    + [o0[f, ne - 1:ne, 0, p:, 0]]
+            elif side == 'N':
+                pieces = [o0[f, ne - 1, r:r + 1, p, :p] for r in range(ne)] \
+                    + [o0[f, ne - 1, ne - 1:ne, p, p:]]
+            else:
+                pieces = [o0[f, 0, r:r + 1, 0, :p] for r in range(ne)] \
+                    + [o0[f, 0, ne - 1:ne, 0, p:]]
+            return jnp.concatenate(pieces, axis=1)
+        def put(key, strip):
+            """Per-row write-back (rebuilding the (ne, p+1) block by
+            concatenating lane slices along sublanes aborts Mosaic)."""
+            f, side = key
+            for r in range(ne):
+                row = strip[:, r * p:r * p + p + 1]
+                if side == 'E':
+                    o0[f, r:r + 1, ne - 1, :, p] = row
+                elif side == 'W':
+                    o0[f, r:r + 1, 0, :, 0] = row
+                elif side == 'N':
+                    o0[f, ne - 1, r:r + 1, p, :] = row
+                else:
+                    o0[f, 0, r:r + 1, 0, :] = row
+        for ka, kb, flip in self.meta.pairs0:
+            a = get(ka)
+            b = get(kb)
+            bb = self._kflip_lane(b) if flip else b
+            # endpoints (cube vertices) handled separately: exchange interior
+            mid = a[:, 1:-1] + bb[:, 1:-1]
+            put(ka, jnp.concatenate([a[:, :1], mid, a[:, -1:]], axis=1))
+            tbm = self._kflip_lane(mid) if flip else mid
+            put(kb, jnp.concatenate([b[:, :1], tbm, b[:, -1:]], axis=1))
+        for group in self.meta.verts0:
+            tot = 0.0
+            for (f, cy, cx, iy, ix) in group:
+                tot = tot + o0[f:f + 1, cy:cy + 1, cx:cx + 1,
+                               iy:iy + 1, ix:ix + 1]
+            for (f, cy, cx, iy, ix) in group:
+                o0[f:f + 1, cy:cy + 1, cx:cx + 1, iy:iy + 1, ix:ix + 1] = tot
 
     def _build_partner_tables(self, topo: Topology):
         """Flat partner index/sign tables driving the gather DSS.
@@ -357,7 +512,7 @@ class LocalOps(SpaceOps):
         if self.spmd is not None:
             return self.spmd.dss1(vl.reshape(-1)).reshape(vl.shape)
         if self.pallas_dss:
-            return self._pallas_dss(self._dss1_core, vl, 2 * self.n1loc)
+            return self._dss1_pallas(vl)
         return self._dss1_core(vl)
 
     def _dss1_core(self, vl):
@@ -434,7 +589,7 @@ class LocalOps(SpaceOps):
         if self.spmd is not None:
             return self.spmd.dss0(vl.reshape(-1)).reshape(vl.shape)
         if self.pallas_dss:
-            return self._pallas_dss(self._dss0_core, vl, (self.p + 1) ** 2)
+            return self._dss0_pallas(vl)
         return self._dss0_core(vl)
 
     def _dss0_core(self, vl):
@@ -458,8 +613,12 @@ class LocalOps(SpaceOps):
                 a = self._get_strip0(v0, ka)
                 b = self._get_strip0(v0, kb)
                 bb = b[::-1] if flip else b
-                # endpoints (cube vertices) handled separately: exchange interior
-                t = a.at[1:-1].add(bb[1:-1])
+                # endpoints (cube vertices) handled separately: exchange
+                # interior.  Concatenate instead of .at[1:-1].add: the slice
+                # add is bit-identical either way, but .at[].add lowers to the
+                # scatter-add primitive, which Mosaic (Pallas TPU) cannot
+                # lower inside _pallas_dss.
+                t = jnp.concatenate([a[:1], a[1:-1] + bb[1:-1], a[-1:]])
                 tb = t[::-1] if flip else t
                 tb = tb.at[0].set(b[0]).at[-1].set(b[-1])
                 v0 = self._set_strip0(v0, ka, t)
