@@ -201,4 +201,20 @@ if __name__ == "__main__":
     if "--cpu-proxy" in sys.argv:
         cpu_proxy()
     else:
-        main()
+        try:
+            main()
+        except Exception:
+            # the tunneled TPU intermittently kills dispatches with
+            # UNAVAILABLE errors that poison the whole in-process backend;
+            # a bounded self-re-exec gives the end-of-round driver run a
+            # fresh client instead of recording a one-off infra fault
+            import traceback
+            n = int(os.environ.get("BENCH_RETRY", "0"))
+            traceback.print_exc(file=sys.stderr)
+            if n >= 2:
+                raise
+            os.environ["BENCH_RETRY"] = str(n + 1)
+            print(f"bench: retrying after failure ({n + 1}/2) in 60 s",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
