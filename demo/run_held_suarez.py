@@ -12,6 +12,7 @@ Advances through the entropy-conserving Strang_ec path in scanned chunks
 
 Usage: python demo/run_held_suarez.py [outdir] [ne] [nk] [days] [dt] [dump_hours]
 """
+import json
 import os
 import sys
 import time
@@ -59,19 +60,44 @@ def main():
     if os.path.exists(ckpt_path):
         cstep, f = mio.load_checkpoint(ckpt_path)
         state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
+        t_run = float(f["t_run"]) if "t_run" in f else 0.0
         step = cstep
         print(f"resumed from {ckpt_path} at step {step}", flush=True)
+        if step >= nsteps:
+            print(f"run already complete ({step}/{nsteps} steps)", flush=True)
+            return
     else:
         t0 = time.time()
         state, aux = eul.step_ec(state, first=True)
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step = 1
+        # bank step 1: a keeper retry must never repay the leapfrog start
+        mio.save_checkpoint(ckpt_path, step, **dict(zip(skeys, state)),
+                            t_run=np.float64(t_run))
 
-    # one jitted scan per sub-chunk (<=240 steps, ~30 s of device time):
-    # the tunneled TPU intermittently kills very long single dispatches
+    # one jitted scan per sub-chunk, synced + checkpointed (>=20 s apart) so
+    # keeper retries only repay the rebuild; the sub-chunk length self-tunes
+    # across retries exactly like demo/run_umjs14.py (the tunnel kills long
+    # dispatches with UNAVAILABLE for stretches at a time)
     run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
-    max_chunk = int(os.environ.get("HS_MAX_CHUNK", "240"))
+    max_chunk = int(os.environ.get("HS_MAX_CHUNK", "96"))
+    marker = os.path.join(outdir, "tuner.json")
+    try:
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m["step"] >= step:
+            max_chunk = max(6, m["chunk"] // 2)
+        elif step - m["step"] >= dump_every:
+            max_chunk = min(240, m["chunk"] * 2)
+        else:
+            max_chunk = m["chunk"]
+    except Exception:
+        pass
+    with open(marker, "w") as fh:
+        json.dump(dict(step=step, chunk=max_chunk), fh)
+    print(f"sub-chunk {max_chunk} steps", flush=True)
+    t_saved = 0.0
     while step < nsteps:
         chunk = min(dump_every - (step % dump_every) or dump_every,
                     nsteps - step)
@@ -81,7 +107,23 @@ def main():
             sub = min(chunk - done, max_chunk)
             state, aux = run_ec(state, sub)
             done += sub
-        jax.block_until_ready(state[0])
+            jax.block_until_ready(state[0])
+            nrm = float(np.max(np.asarray(aux["newton_norms"])))
+            print(f"  [{time.strftime('%H:%M:%S')}] step {step + done}  "
+                  f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s"
+                  f"  |d| {nrm:.1e}", flush=True)
+            if not np.isfinite(nrm):
+                mio.save_checkpoint(
+                    os.path.join(outdir, "nan_state.npz"), step + done,
+                    **dict(zip(skeys, state)))
+                print(f"!! NaN in Newton norms at step {step + done}; "
+                      "aborting (see nan_state.npz)", flush=True)
+                sys.exit(42)
+            if step + done < nsteps and time.time() - t_saved > 20.0:
+                t_saved = time.time()
+                mio.save_checkpoint(
+                    ckpt_path, step + done, **dict(zip(skeys, state)),
+                    t_run=np.float64(t_run + time.time() - t0))
         t_run += time.time() - t0
         step += chunk
         if step % dump_every == 0:
@@ -104,7 +146,8 @@ def main():
                                   theta=("layer",
                                          eul.vo.diag_theta_l2(rho, rt)),
                                   u=("u1", velx)), dump, outdir)
-            mio.save_checkpoint(ckpt_path, step, **dict(zip(skeys, state)))
+            mio.save_checkpoint(ckpt_path, step, **dict(zip(skeys, state)),
+                                t_run=np.float64(t_run))
 
     print(f"\n== {days} day(s), {nsteps} steps, wall {t_run:.0f}s "
           f"({nsteps/max(t_run,1e-9):.2f} steps/s)", flush=True)

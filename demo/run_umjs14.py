@@ -139,7 +139,10 @@ def main():
         if m["step"] >= step:
             max_chunk = max(6, m["chunk"] // 2)
         elif step - m["step"] >= dump_every:
-            max_chunk = min(96, m["chunk"] * 2)
+            # grow cautiously and cap at 48: 96-step (~1 min) dispatches are
+            # reliably killed by the tunnel today, and oscillating into a
+            # known-fatal length costs a ~3 min rebuild per probe
+            max_chunk = min(48, m["chunk"] * 2)
         else:
             max_chunk = m["chunk"]
     except Exception:
