@@ -23,10 +23,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def bench_sw(pallas, steps=10):
+def bench_sw(pallas, steps=10, ne=24):
     os.environ["MIMSEM_PALLAS_DSS"] = "1" if pallas else "0"
     from mimsem_tpu.testcases import galewsky
-    sw, u, h = galewsky.build(ne=24, p=3, dt=360.0, dtype=jnp.float32)
+    sw, u, h = galewsky.build(ne=ne, p=3, dt=360.0, dtype=jnp.float32)
     run = jax.jit(sw.run_steps, static_argnums=2)
     t0 = time.perf_counter()
     out = run(u, h, steps)
@@ -68,7 +68,13 @@ def main():
     which = [a for a in sys.argv[1:] if not a.startswith("-")] or ["sw", "ec"]
     res = {}
     for w in which:
-        f = bench_sw if w == "sw" else bench_ec
+        # sw48: the BASELINE.md north-star 2D config, measured for the
+        # roofline story (the enable gate in scripts/tpu_stage2.sh reads
+        # only the sw/ec pair)
+        if w == "sw48":
+            f = lambda p: bench_sw(p, ne=48)
+        else:
+            f = bench_sw if w == "sw" else bench_ec
         a = f(False)
         print(f"{w} slicing: {a['steps_per_sec']:.2f} steps/s "
               f"(compile {a['compile_s']:.0f}s)", flush=True)

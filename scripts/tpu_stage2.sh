@@ -16,7 +16,7 @@ log() { echo "== $(date +%H:%M:%S) $*"; }
 log "UMJS14 keeper ($1) finished; TPU free"
 
 log "pallas A/B"
-timeout 2700 python -u scripts/pallas_ab.py sw ec > /tmp/ab_result.log 2>&1
+timeout 2700 python -u scripts/pallas_ab.py sw ec sw48 > /tmp/ab_result.log 2>&1
 rc=$?
 tail -8 /tmp/ab_result.log
 log "A/B rc=$rc"
@@ -28,8 +28,8 @@ import json
 try:
     line = [l for l in open('/tmp/ab_result.log') if l.startswith('{')][-1]
     r = json.loads(line)
-    ok = all(v['speedup'] > 1.15 and v['state_relerr'] < 1e-5
-             for v in r.values())
+    ok = all(r[k]['speedup'] > 1.15 and r[k]['state_relerr'] < 1e-5
+             for k in ('sw', 'ec'))
     print(1 if ok else 0)
 except Exception:
     print(0)
