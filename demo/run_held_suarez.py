@@ -103,9 +103,12 @@ def main():
                     nsteps - step)
         t0 = time.time()
         done = 0
+        k2i_acc = k2iz_acc = 0.0
         while done < chunk:
             sub = min(chunk - done, max_chunk)
             state, aux = run_ec(state, sub)
+            k2i_acc = k2i_acc + float(aux["k2i_mean"]) * sub
+            k2iz_acc = k2iz_acc + float(aux["k2i_z_mean"]) * sub
             done += sub
             jax.block_until_ready(state[0])
             nrm = float(np.max(np.asarray(aux["newton_norms"])))
@@ -129,8 +132,8 @@ def main():
         if step % dump_every == 0:
             velx, w, rho, rt, exner = state[:5]
             e = eul.energetics_ec(velx, w, rho, rt, exner,
-                                  k2i=aux.get("k2i_mean", 0.0),
-                                  k2i_z=aux.get("k2i_z_mean", 0.0))
+                                  k2i=k2i_acc / chunk,
+                                  k2i_z=k2iz_acc / chunk)
             e = {k: float(v) for k, v in e.items()}
             with open(os.path.join(outdir, "energetics.dat"), "a") as f:
                 cols = [step * dt / 86400.0] + [e[k] for k in hdr]

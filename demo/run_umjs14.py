@@ -63,8 +63,9 @@ def main():
     # stability experiment knob: more (chord-)Newton iterations per
     # vertical solve if the wave-breaking phase ever diverges
     nit = int(os.environ.get("UMJS14_NEWTON_ITERS", "4"))
+    vnm = os.environ.get("UMJS14_VERT_NEWTON", "full")
     eul, state = umjs14.build(ne=ne, p=3, nk=nk, dt=dt, dtype=jnp.float32,
-                              newton_iters=nit)
+                              newton_iters=nit, vert_newton=vnm)
     ndofs = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
     print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs}",
           flush=True)
@@ -124,6 +125,8 @@ def main():
     # (demo/run_umjs14.sh) resumes from the last checkpoint if a dispatch
     # still dies.
     run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
+    min_theta = jax.jit(lambda rho, rt: jnp.min(
+        eul.vo.phys_layer(eul.vo.diag_theta_l2(rho, rt))))
     # 2026-08-18: the tunnel entered a phase where even 96-step (~1 min) EC
     # dispatches die with UNAVAILABLE while short SW dispatches run fine;
     # checkpoints after every synced sub-chunk make progress monotonic (a
@@ -156,19 +159,29 @@ def main():
                     nsteps - step)
         t0 = time.time()
         done = 0
+        k2i_acc = k2iz_acc = 0.0
         while done < chunk:
             sub = min(chunk - done, max_chunk)
             state, aux = run_ec(state, sub)
             exch_int = exch_int + aux["exch_int"]
+            # step-weighted accumulation so the dump's k2i/k2i_z columns are
+            # the mean over the WHOLE dump interval, not the last sub-chunk
+            k2i_acc = k2i_acc + float(aux["k2i_mean"]) * sub
+            k2iz_acc = k2iz_acc + float(aux["k2i_z_mean"]) * sub
             done += sub
             # sync + progress line per sub-chunk (~1 per 100 s of compute):
             # localizes tunnel/worker crashes to a step range and costs one
             # tunnel round-trip
             jax.block_until_ready(state[0])
             nrm = float(np.max(np.asarray(aux["newton_norms"])))
+            # min physical theta: early-warning monitor for the day-2.8
+            # theta-hole/convective-runaway failure mode (a healthy UMJS14
+            # atmosphere stays >= ~236 K; a dig below ~200 K means the run
+            # is doomed hours of sim time later)
+            thmin = float(min_theta(state[2], state[3]))
             print(f"  [{time.strftime('%H:%M:%S')}] step {step + done}  "
                   f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s"
-                  f"  |d| {nrm:.1e}", flush=True)
+                  f"  |d| {nrm:.1e}  min_th {thmin:.1f}", flush=True)
             if not np.isfinite(nrm):
                 # a NaN trajectory is deterministic: resuming from the last
                 # checkpoint replays it, so signal the supervisor to STOP
@@ -203,9 +216,8 @@ def main():
             # the power columns log the dump-interval MEANS (the snapshot
             # powers of the reference fluctuate at the gravity-wave period)
             e = eul.energetics_ec(velx, w, rho, rt, exner,
-                                  k2i=aux.get("k2i_mean", aux.get("k2i")),
-                                  k2i_z=aux.get("k2i_z_mean",
-                                                aux.get("k2i_z")))
+                                  k2i=k2i_acc / chunk,
+                                  k2i_z=k2iz_acc / chunk)
             e = {k: float(v) for k, v in e.items()}
             if e0 is None:
                 e0 = e

@@ -53,9 +53,19 @@ class Euler3D:
     def __init__(self, ops, vo: VerticalOps, dt: float, coriolis=None,
                  do_visc: bool = False, rayleigh: float = 0.0,
                  newton_iters: int = 4, hs_forcing: bool = False,
-                 f64_resid: bool = None, theta_upwind: bool = True):
+                 f64_resid: bool = None, theta_upwind: bool = True,
+                 vert_newton: str = "chord", do_temp_visc: bool = False):
         self.ops = ops
         self.vo = vo
+        # 'chord' (default) assembles the vertical-solve linearization once
+        # per step at the initial state (~1.7x faster EC step); 'full'
+        # reassembles at each iteration's half state (the reference's
+        # structure).  When the day-2.8 UMJS14 blowup was bisected by
+        # replaying its checkpoint, chord, full, AND the round-2 solver all
+        # reproduced identical growth -- the Newton variant is NOT the
+        # instability driver; 'full' is kept as a robustness knob.
+        assert vert_newton in ("full", "chord"), vert_newton
+        self.vert_newton = vert_newton
         # f32 runs: assemble the vertical residuals in f64 to avoid the
         # hydrostatic cancellation (V01 Phi_z vs theta grad Pi are large
         # opposing terms); arrays are small [nk, nel, n2loc] so the emulated
@@ -73,6 +83,10 @@ class Euler3D:
         self.dt = dt
         self.nk = vo.nk
         self.do_visc = do_visc
+        # biharmonic temperature dissipation (EC advection path only;
+        # reference: do_temp_visc flag, eul/HorizSolve.cpp:36,341-360,
+        # default false there too)
+        self.do_temp_visc = do_temp_visc
         self.rayleigh = rayleigh
         if rayleigh:
             # graded top sponge on w: full/half/quarter weight on the top
@@ -98,7 +112,7 @@ class Euler3D:
         self.zv = vo.zv_gz()                     # (nk, nel, n2loc)
         # mean layer thickness (for 1-form layer masses); (nk, nel, nq)
         self.thickq = vo.thickq
-        if do_visc:
+        if do_visc or do_temp_visc:
             # biharmonic coefficient del^2 = -sqrt(0.072 dx^3.2) (Guba et al.
             # 2014; eul/HorizSolve.cpp:112-119)
             area = float(np.sum(np.asarray(ops.det) * np.asarray(ops.W)[None, :]))
@@ -384,6 +398,17 @@ class Euler3D:
         dThp = jax.vmap(self.ops.interp1_phys)(dTh)
         Fp = jax.vmap(self.ops.interp1_phys)(F)
         dG = dG + vo.proj(0.5 * jnp.sum(dThp * Fp, axis=-1))
+        if self.do_temp_visc:
+            # biharmonic temperature dissipation del2^2 grad(div(rho grad
+            # theta)) added to the Theta flux (HorizSolve::advection_rhs
+            # do_temp_visc branch, eul/HorizSolve.cpp:341-360) -- the
+            # reference's stabilization for under-resolved theta fronts.
+            # Reuses the EC theta gradient dTh already solved above.
+            r_mid = 0.5 * (r1p + r2p)
+            rdT = self.solve_M1k(self.scatter1k(
+                self._m1k_local(dTh, self.thickq * r_mid)))
+            d3 = self.grad_k(self.e21k(rdT))
+            dG = dG + (self.del2 ** 2) * vo.apply_w(chiVB, self.e21k(d3))
         return dF, dG, F, (F, dTh, G)
 
     def momentum_rhs_ec(self, theta_l2, uz1, uz2, w1, w2, exner,
@@ -707,17 +732,22 @@ class Euler3D:
         k2i_z exchange power and the final increment max-norms (the
         reference's 1e-12 convergence monitors, :1915-1928).
 
-        Quasi-Newton (chord) structure: ALL linearization blocks -- including
-        the block-tridiagonal Helmholtz factorization, whose forward
-        elimination is nk sequential Gauss-Jordan inverses -- are assembled
-        ONCE at the initial state (identical to the first iteration's half
-        state, since w_j = w_i there) and reused by every iteration.  The
-        residuals stay exact at the current half state, so the converged
-        state is unchanged (same argument as the lagged Q_rt_rho block,
-        module docstring; the reference instead rebuilds ~70 PETSc mats per
-        iteration, eul/VertSolve.cpp:1760-1797).  The per-iteration work
-        reduces to residual assembly + banded sweeps + two small exact
-        state-reconstruction inverses."""
+        Newton structure (self.vert_newton):
+        - 'chord' (quasi-Newton, default): ALL linearization blocks --
+          including the block-tridiagonal Helmholtz factorization, whose
+          forward elimination is nk sequential Gauss-Jordan inverses -- are
+          assembled ONCE at the initial state (identical to the first
+          iteration's half state, since w_j = w_i there) and reused by
+          every iteration.  The residuals stay exact at the current half
+          state, so the converged state is unchanged (same argument as the
+          lagged Q_rt_rho block, module docstring; the reference instead
+          rebuilds ~70 PETSc mats per iteration).
+        - 'full': the reference's structure -- every linearization block is
+          reassembled at the CURRENT iterate's half state each iteration
+          (eul/VertSolve.cpp:1760-1797).  ~2x the per-iteration block
+          algebra.  Chord was exonerated for the day-2.8 UMJS14 blowup by
+          checkpoint replay (chord/full/round-2 all grew identically), so
+          'full' is a robustness knob, not the default."""
         vo, dt, nk = self.vo, self.dt, self.nk
         rdcv = RD / CV
         chiVB = vo.chi_VB()
@@ -735,56 +765,65 @@ class Euler3D:
         mm = lambda a, b: jnp.einsum('lnij,lnjk->lnik', a, b)
         mv = lambda a, b: jnp.einsum('lnij,lnj->lni', a, b)
         hdt = 0.5 * dt
-
-        # ================= lagged linearization (initial state) =================
-        VBrt_inv = inv_small(vo.wblk(vo.chi_VB_rho(rt_i)))
-        VBrho_inv = inv_small(vo.wblk(vo.chi_VB_rho(rho_i)))
-        th_W3 = jnp.einsum('lnij,lnj->lni', VBrho_inv,
-                           vo.apply_w(chiVB, rt_i))
-        eta_0 = vo.log_theta_plus_eta(th_W3)
-        thp = vo.phys_layer(th_W3)
-        gradpi = vo.grad_z(pi_i, VAinv)
-        dPip = vo.phys_int(gradpi)
-        gradeta = vo.grad_z(eta_0, VAinv)
-        dEtap = vo.phys_int(gradeta)
-
-        # G_eta[i,k], k in {i, i+1}: 0.5 dt wblk(0.5 dPi_i theta_k / det)
-        Ge_lo = hdt * vo.wblk(0.5 * dPip * thp[:-1] / vo.det)
-        Ge_up = hdt * vo.wblk(0.5 * dPip * thp[1:] / vo.det)
-        # G_pi[i,m]: 0.5 dt VA(theta) VA^-1 V01 VB
-        A_ = mm(vo.wblk(vo.chi_VA_rho(th_W3)), VAinv)
-        Gp_lo = -hdt * mm(A_, VB[:-1])
-        Gp_up = +hdt * mm(A_, VB[1:])
-        # D_rho row blocks: +-0.5 dt VB[k] (VA^-1 VA(rho))[i]
-        Rnu = mm(VAinv, vo.wblk(vo.chi_VA_rho(rho_i)))
-        # A_eta row blocks: 0.5 dt wblk(0.5 dEta_i / det)
-        Wd = hdt * vo.wblk(0.5 * dEtap / vo.det)
-        # EOS blocks
-        N_pi = vo.eos_block(pi_i)
-        N_rho = vo.eos_block(rho_i)
-        CrVBi = mm(N_rho, VBinv)
-
-        # lumped w-block: L_eta[i,i] = VA[i] - Ge_lo VBinv[i] Wd[i]
-        #                              - Ge_up VBinv[i+1] Wd[i]
-        L_eta_d = VA_jac - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
-            - mm(Ge_up, mm(VBinv[1:], Wd))
-        Mw_inv = inv_small(L_eta_d)
-
-        # pc_DIV row blocks (layers k): i=k ('hi', k<=nk-2) and i=k-1 ('lo')
         zero = jnp.zeros_like(VB[:1])
-        D_hi = +hdt * mm(VB[:-1], Rnu)                 # rows k=0..nk-2
-        D_lo = -hdt * mm(VB[1:], Rnu)                  # rows k=1..nk-1
-        PD_hi = mm(mm(CrVBi[:-1], D_hi) + Wd, Mw_inv)  # (nk-1,...) row k=i
-        PD_lo = mm(mm(CrVBi[1:], D_lo) + Wd, Mw_inv)   # (nk-1,...) row k=i+1
 
-        # Helmholtz operator L_pi (block-tridiagonal over layers), factored
-        # ONCE: per iteration only the forward/backward sweeps run
-        diag = N_pi - rdcv * (
-            jnp.concatenate([zero, mm(PD_lo, Gp_up)], 0)
-            + jnp.concatenate([mm(PD_hi, Gp_lo), zero], 0))
-        lower = -rdcv * jnp.concatenate([zero, mm(PD_lo, Gp_lo)], 0)
-        upper = -rdcv * jnp.concatenate([mm(PD_hi, Gp_up), zero], 0)
-        Cs, dinvs = self._tridiag_factor(lower, diag, upper)
+        def assemble(w_a, rho_a, rt_a, pi_a):
+            """All linearization blocks at state a (chord: the initial
+            state, once; full: the current half state, every iteration)."""
+            VBrt_inv = inv_small(vo.wblk(vo.chi_VB_rho(rt_a)))
+            VBrho_inv = inv_small(vo.wblk(vo.chi_VB_rho(rho_a)))
+            th_W3 = jnp.einsum('lnij,lnj->lni', VBrho_inv,
+                               vo.apply_w(chiVB, rt_a))
+            eta_0 = vo.log_theta_plus_eta(th_W3)
+            thp = vo.phys_layer(th_W3)
+            gradpi = vo.grad_z(pi_a, VAinv)
+            dPip = vo.phys_int(gradpi)
+            gradeta = vo.grad_z(eta_0, VAinv)
+            dEtap = vo.phys_int(gradeta)
+
+            # G_eta[i,k], k in {i, i+1}: 0.5 dt wblk(0.5 dPi theta_k / det)
+            Ge_lo = hdt * vo.wblk(0.5 * dPip * thp[:-1] / vo.det)
+            Ge_up = hdt * vo.wblk(0.5 * dPip * thp[1:] / vo.det)
+            # G_pi[i,m]: 0.5 dt VA(theta) VA^-1 V01 VB
+            A_ = mm(vo.wblk(vo.chi_VA_rho(th_W3)), VAinv)
+            Gp_lo = -hdt * mm(A_, VB[:-1])
+            Gp_up = +hdt * mm(A_, VB[1:])
+            # D_rho row blocks: +-0.5 dt VB[k] (VA^-1 VA(rho))[i]
+            Rnu = mm(VAinv, vo.wblk(vo.chi_VA_rho(rho_a)))
+            # A_eta row blocks: 0.5 dt wblk(0.5 dEta / det)
+            Wd = hdt * vo.wblk(0.5 * dEtap / vo.det)
+            # EOS blocks
+            N_pi = vo.eos_block(pi_a)
+            N_rho = vo.eos_block(rho_a)
+            CrVBi = mm(N_rho, VBinv)
+
+            # lumped w-block: L_eta[i,i] = VA[i] - Ge_lo VBinv[i] Wd[i]
+            #                              - Ge_up VBinv[i+1] Wd[i]
+            L_eta_d = VA_jac - mm(Ge_lo, mm(VBinv[:-1], Wd)) \
+                - mm(Ge_up, mm(VBinv[1:], Wd))
+            Mw_inv = inv_small(L_eta_d)
+
+            # pc_DIV row blocks (layers k): i=k ('hi') and i=k-1 ('lo')
+            D_hi = +hdt * mm(VB[:-1], Rnu)                 # rows k=0..nk-2
+            D_lo = -hdt * mm(VB[1:], Rnu)                  # rows k=1..nk-1
+            PD_hi = mm(mm(CrVBi[:-1], D_hi) + Wd, Mw_inv)  # row k=i
+            PD_lo = mm(mm(CrVBi[1:], D_lo) + Wd, Mw_inv)   # row k=i+1
+
+            # Helmholtz operator L_pi (block-tridiagonal over layers)
+            diag = N_pi - rdcv * (
+                jnp.concatenate([zero, mm(PD_lo, Gp_up)], 0)
+                + jnp.concatenate([mm(PD_hi, Gp_lo), zero], 0))
+            lower = -rdcv * jnp.concatenate([zero, mm(PD_lo, Gp_lo)], 0)
+            upper = -rdcv * jnp.concatenate([mm(PD_hi, Gp_up), zero], 0)
+            Cs, dinvs = self._tridiag_factor(lower, diag, upper)
+            return dict(VBrt_inv=VBrt_inv, VBrho_inv=VBrho_inv,
+                        Ge_lo=Ge_lo, Ge_up=Ge_up, Gp_lo=Gp_lo, Gp_up=Gp_up,
+                        Rnu=Rnu, Wd=Wd, CrVBi=CrVBi, Mw_inv=Mw_inv,
+                        PD_hi=PD_hi, PD_lo=PD_lo, lower=lower, Cs=Cs,
+                        dinvs=dinvs)
+
+        chord = getattr(self, "vert_newton", "full") == "chord"
+        blk0 = assemble(w_i, rho_i, rt_i, pi_i) if chord else None
 
         def newton(state, _):
             w_j, rho_j, rt_j, pi_j, ws = state
@@ -793,6 +832,15 @@ class Euler3D:
             pi_h = 0.5 * (pi_i + pi_j)
             theta_l2_j = vo.diag_theta_l2(rho_j, rt_j)
             theta_l2_h = 0.5 * (theta_l2_i + theta_l2_j)
+
+            blk = blk0 if chord else assemble(
+                0.5 * (w_i + w_j), rho_h, rt_h, pi_h)
+            VBrt_inv, VBrho_inv = blk["VBrt_inv"], blk["VBrho_inv"]
+            Ge_lo, Ge_up = blk["Ge_lo"], blk["Ge_up"]
+            Gp_lo, Gp_up = blk["Gp_lo"], blk["Gp_up"]
+            Rnu, Wd, CrVBi = blk["Rnu"], blk["Wd"], blk["CrVBi"]
+            Mw_inv, PD_hi, PD_lo = blk["Mw_inv"], blk["PD_hi"], blk["PD_lo"]
+            lower, Cs, dinvs = blk["lower"], blk["Cs"], blk["dinvs"]
 
             # horizontal forcing recomputed every Newton iteration
             # (eul/VertSolve.cpp:1798-1799), warm-started CG

@@ -215,10 +215,18 @@ class VerticalOps:
         """theta on all nk+1 interfaces: VA2(rho)^-1 AB2 rt
         (VertSolve::diagTheta2, box/VertSolve.cpp:499-533).
 
-        With w/tau the vertical linear basis is evaluated at the departure
-        point z - tau*w (AssembleLinCon_up / AssembleLinearWithRho_up, the
-        reference's active path with tau = 0.25*dt): the per-layer hat-function
-        weights 1/2 become 1/2 +- tau w / thick for the bottom/top interfaces.
+        With w/tau the vertical linear (hat) test functions are evaluated at
+        the shifted point z + tau*w (AssembleLinCon_up /
+        AssembleLinearWithRho_up, box/VertOps.cpp:2601-2672, the reference's
+        active path with tau = 0.25*dt): with phi_0 = (1-z)/2, phi_1 =
+        (1+z)/2 the per-layer 1/2 weights become
+            bottom interface: 1/2 - shift,   top: 1/2 + shift,
+        shift = tau*w_layer/thick -- for w > 0 an interface draws MORE from
+        the layer BELOW it (its upwind side).  Round-3 note: the sign was
+        originally inverted (downwinding, anti-diffusive); found while
+        bisecting the day-2.8 UMJS14 blowup and fixed against the
+        reference's phi_0/phi_1 evaluation.  The direction is asserted by
+        tests/test_euler3d.py::test_diag_theta_upwind_direction.
         """
         if w is None:
             sb = st = 0.5
@@ -228,8 +236,8 @@ class VerticalOps:
             wl = 0.5 * (jnp.concatenate([z1, wq], 0)
                         + jnp.concatenate([wq, z1], 0))  # layer-avg w (nk,...)
             shift = jnp.clip(tau * wl / self.thickq, -0.5, 0.5)
-            sb = 0.5 + shift
-            st = 0.5 - shift
+            sb = 0.5 - shift
+            st = 0.5 + shift
         # rhs: layer k feeds bottom interface with weight sb, top with st
         yb = self.apply_w(sb / self.det, rt)
         yt = self.apply_w(st / self.det, rt)

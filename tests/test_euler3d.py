@@ -189,3 +189,27 @@ def test_run_steps_ec_scan_equivalence():
     assert np.isclose(float(auxb["exch_int"]), exch, rtol=1e-6)
     assert np.allclose(np.asarray(auxb["newton_norms"]),
                        np.asarray(aux["newton_norms"]))
+
+
+def test_diag_theta_upwind_direction():
+    """The upwinded interface-theta diagnosis must bias toward the UPWIND
+    (below for w > 0) layer -- phi_0/phi_1 evaluated at z + tau*w give the
+    bottom interface weight 1/2 - tau*w/thick and the top 1/2 + tau*w/thick
+    (AssembleLinCon_up, box/VertOps.cpp:2601-2672).  The inverted sign is
+    anti-diffusive and blew up the 12-day UMJS14 run at day ~2.8 (round-3
+    regression)."""
+    eul, state = bubble.build(ne=2, p=2, nk=6, dt=0.5)
+    vo = eul.vo
+    _, w, rho, rt, _, _ = state
+    rho1 = jnp.ones_like(rho) * vo.proj(jnp.ones_like(vo.thickq))
+    # alternating-layer Theta (2-gridpoint vertical mode), uniform rho
+    vals = jnp.asarray(np.where(np.arange(vo.nk) % 2 == 0, 300.0, 320.0))
+    rt1 = rho1 * 0.0 + vals[:, None, None] * rho1
+    w_up = jnp.ones_like(w)          # uniform upward DOF velocity
+    th_c = vo.phys_int(vo.diag_theta(rho1, rt1))
+    th_u = vo.phys_int(vo.diag_theta(rho1, rt1, w=w_up, tau=0.1))
+    d = np.asarray(th_u - th_c)[1:-1]            # interior interfaces
+    below = np.asarray(vals[:-1] - 0.5 * (vals[:-1] + vals[1:]))
+    # interface i shifted toward the layer below it, for every interface
+    sign = np.sign(d.mean(axis=(1, 2)))
+    assert np.all(sign == np.sign(below)), (sign, np.sign(below))
