@@ -1,10 +1,11 @@
 """Held-Suarez idealized climate test (eul/HeldSuarez.cpp).
 
-NK=16 uniform levels to ZTOP, isothermal-ish balanced base state (the
-reference initializes from the UMJS14 background atmosphere with the
-perturbation off), dt=120 s, 100 days, hs_forcing on (temperature relaxation
-+ Rayleigh boundary-layer friction, eul/VertOps.cpp compute_k_T /
-eul/Assembly.h Umat_ray).
+NK=16 sqrt-stretched levels to ZTOP (z_at_level, eul/HeldSuarez.cpp:124-128,
+identical to UMJS14's mu=15 stretch), balanced base state (the reference
+initializes from the UMJS14 background atmosphere with the perturbation
+off), dt=120 s, 100 days, hs_forcing on (temperature relaxation + Rayleigh
+boundary-layer friction, eul/VertOps.cpp compute_k_T / eul/Assembly.h
+Umat_ray).
 """
 from __future__ import annotations
 
@@ -37,7 +38,12 @@ def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 120.0,
     basis = make_basis(p)
     geom = build_geometry(mesh, basis)
     ops = LocalOps(topo, basis, geom, mesh, dtype=dtype, el_sharding=el_sharding)
-    levs = np.linspace(0.0, ZTOP, nk + 1)[:, None, None] \
+    # stretched levels, SAME sqrt-stretch as UMJS14: the reference's
+    # HeldSuarez.cpp:124-128 z_at_level is identical to UMJS14.cpp's (mu=15).
+    # Uniform levels put the bottom layer at ~1.9 km, and the projected
+    # balanced state is then hydrostatically imbalanced enough to ring the
+    # whole atmosphere into a NaN within ~400 steps (observed 2026-08-18).
+    levs = umjs14.z_levels(nk)[:, None, None] \
         * np.ones((1, ops.nel, basis.nq))
     vo = VerticalOps(ops, levs)
     coriolis = lambda lon, lat: 2.0 * OMEGA * jnp.sin(lat)
