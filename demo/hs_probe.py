@@ -39,12 +39,20 @@ def main():
         kw.update(newton_iters=12, vert_newton="full")
     if "nora" in variant:
         kw.update(rayleigh=0.0)
+    if "hc" in variant:
+        kw.update(corr_centering="h")   # experimental half-state corrector
+    if "tv" in variant:
+        kw.update(do_temp_visc=True)    # biharmonic theta dissipation (the
+                                        # reference's EC stabilizer knob)
+    dt = 120.0
+    if "dt60" in variant:
+        dt = 60.0
     forcing = "nof" not in variant
     ec = variant.startswith("ec")
 
     from mimsem_tpu.testcases import held_suarez
     t0 = time.time()
-    eul, state0 = held_suarez.build(ne=6, p=3, nk=16, dt=120.0, dtype=dtype,
+    eul, state0 = held_suarez.build(ne=6, p=3, nk=16, dt=dt, dtype=dtype,
                                     **kw)
     eul.hs_forcing = forcing
     print(f"build {time.time()-t0:.1f}s variant={variant} forcing={forcing} "
@@ -55,8 +63,10 @@ def main():
     def diags(st):
         velx, w, rho, rt = st[0], st[1], st[2], st[3]
         thp = vo.phys_layer(vo.diag_theta_l2(rho, rt))
+        e = eul.energetics_ec(velx, w, rho, rt, st[4])
+        tot = e["keh"] + e["kev"] + e["pe"] + e["ie"]
         return (jnp.min(thp), jnp.max(jnp.abs(vo.phys_int(w))),
-                jnp.max(jnp.abs(velx)), jnp.min(vo.phys_layer(rho)))
+                tot, e["kev"], jnp.min(vo.phys_layer(rho)))
 
     if ec:
         state = eul.init_state_ec(*state0[:5])
@@ -82,15 +92,17 @@ def main():
     t0 = time.time()
     while step < nsteps:
         n = min(chunk, nsteps - step)
-        state, (thmin, wmax, umax, rhomin, nrm) = run(state, n)
+        state, (thmin, wmax, etot, ekev, rhomin, nrm) = run(state, n)
         jax.block_until_ready(state[0])
         step += n
         i = int(np.argmin(np.asarray(thmin)))
         nr = np.asarray(nrm[-1])
+        e0, e1 = float(etot[0]), float(etot[-1])
         print(f"[{time.strftime('%H:%M:%S')}] step {step} "
               f"({step/(time.time()-t0):.2f} st/s)  "
               f"min_th {float(thmin[-1]):.2f} (chunk-min {float(thmin[i]):.2f})"
-              f"  max_w {float(wmax[-1]):.3e}  max_u {float(umax[-1]):.1f}"
+              f"  max_w {float(wmax[-1]):.3e}"
+              f"  dE/E {(e1 - e0) / abs(e0):+.3e}  kev {float(ekev[-1]):.3e}"
               f"  min_rho {float(rhomin[-1]):.4f}"
               f"  |d|(pi,w,rho,eta) {nr[0]:.1e} {nr[1]:.1e} {nr[2]:.1e}"
               f" {nr[3]:.1e}", flush=True)

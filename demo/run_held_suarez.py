@@ -7,10 +7,13 @@ equilibrium + k_v boundary-layer friction), run for O(100) days; the
 diagnostic is the CLIMATOLOGY -- zonal-mean westerly jets in both
 hemispheres (plot with scr/plot_zonal_mean.py over the spun-up window).
 
-Advances through the entropy-conserving Strang_ec path in scanned chunks
-(one dispatch per dump interval) with checkpoint/resume at every dump.
+Integrator: plain Strang by default -- the REFERENCE runs Held-Suarez
+through Euler::Strang, not Strang_ec (eul/HeldSuarez.cpp:352); pass
+HS_INTEGRATOR=ec (or argv[7]=ec) for the entropy-conserving path.
+Advances in scanned chunks (one dispatch per dump interval) with
+checkpoint/resume at every dump.
 
-Usage: python demo/run_held_suarez.py [outdir] [ne] [nk] [days] [dt] [dump_hours]
+Usage: python demo/run_held_suarez.py [outdir] [ne] [nk] [days] [dt] [dump_hours] [integrator]
 """
 import json
 import os
@@ -39,6 +42,9 @@ def main():
     days = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
     dt = float(sys.argv[5]) if len(sys.argv) > 5 else 120.0
     dump_hours = float(sys.argv[6]) if len(sys.argv) > 6 else 24.0
+    integ = sys.argv[7] if len(sys.argv) > 7 else os.environ.get(
+        "HS_INTEGRATOR", "strang")
+    assert integ in ("strang", "ec"), integ
     nsteps = int(round(days * 86400.0 / dt))
     dump_every = max(1, min(int(round(dump_hours * 3600.0 / dt)), nsteps // 4))
     os.makedirs(outdir, exist_ok=True)
@@ -47,14 +53,18 @@ def main():
     t0 = time.time()
     eul, state = held_suarez.build(ne=ne, p=3, nk=nk, dt=dt,
                                    dtype=jnp.float32)
-    state = eul.init_state_ec(*state[:5])
+    if integ == "ec":
+        state = eul.init_state_ec(*state[:5])
+    else:
+        state = state[:5] + (state[0],)
     ndofs = (eul.ops.ln1 + 3 * eul.ops.ln2) * nk
-    print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs}",
-          flush=True)
+    print(f"build {time.time()-t0:.1f}s  ne={ne} nk={nk} dofs={ndofs} "
+          f"integrator={integ}", flush=True)
 
     hdr = ["keh", "kev", "pe", "ie", "k2p", "p2k", "k2i", "i2k", "k2i_z",
            "i2k_z", "mass", "entr"]
-    skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev", "uz_prev")
+    skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev") + (
+        ("uz_prev",) if integ == "ec" else ())
     ckpt_path = os.path.join(outdir, "checkpoint.npz")
     t_run = 0.0
     if os.path.exists(ckpt_path):
@@ -68,7 +78,10 @@ def main():
             return
     else:
         t0 = time.time()
-        state, aux = eul.step_ec(state, first=True)
+        if integ == "ec":
+            state, aux = eul.step_ec(state, first=True)
+        else:
+            state = eul.step(state, first=True)
         jax.block_until_ready(state[0])
         t_run += time.time() - t0
         step = 1
@@ -80,7 +93,8 @@ def main():
     # keeper retries only repay the rebuild; the sub-chunk length self-tunes
     # across retries exactly like demo/run_umjs14.py (the tunnel kills long
     # dispatches with UNAVAILABLE for stretches at a time)
-    run_ec = jax.jit(eul.run_steps_ec, static_argnums=1)
+    run_ec = jax.jit(eul.run_steps_ec if integ == "ec" else eul.run_steps,
+                     static_argnums=1)
     max_chunk = int(os.environ.get("HS_MAX_CHUNK", "96"))
     marker = os.path.join(outdir, "tuner.json")
     try:
@@ -107,11 +121,13 @@ def main():
         while done < chunk:
             sub = min(chunk - done, max_chunk)
             state, aux = run_ec(state, sub)
-            k2i_acc = k2i_acc + float(aux["k2i_mean"]) * sub
-            k2iz_acc = k2iz_acc + float(aux["k2i_z_mean"]) * sub
+            if integ == "ec":
+                k2i_acc = k2i_acc + float(aux["k2i_mean"]) * sub
+                k2iz_acc = k2iz_acc + float(aux["k2i_z_mean"]) * sub
             done += sub
             jax.block_until_ready(state[0])
-            nrm = float(np.max(np.asarray(aux["newton_norms"])))
+            nrm = float(np.max(np.asarray(
+                aux["newton_norms" if integ == "ec" else "wmax"])))
             print(f"  [{time.strftime('%H:%M:%S')}] step {step + done}  "
                   f"{(step + done) / (t_run + time.time() - t0):.2f} steps/s"
                   f"  |d| {nrm:.1e}", flush=True)
@@ -138,10 +154,8 @@ def main():
             with open(os.path.join(outdir, "energetics.dat"), "a") as f:
                 cols = [step * dt / 86400.0] + [e[k] for k in hdr]
                 f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
-            nn = np.asarray(aux["newton_norms"])
             print(f"day {step*dt/86400.0:.1f}  {step/max(t_run,1e-9):.2f} "
-                  f"steps/s  newton|dPi| {nn[0]:.2e}  "
-                  f"keh {e['keh']:.4e}", flush=True)
+                  f"steps/s  keh {e['keh']:.4e}", flush=True)
             dump = step // dump_every
             mio.write_layers(eul.ops, eul.vo,
                              dict(rho=("layer", rho), rt=("layer", rt),

@@ -54,7 +54,8 @@ class Euler3D:
                  do_visc: bool = False, rayleigh: float = 0.0,
                  newton_iters: int = 4, hs_forcing: bool = False,
                  f64_resid: bool = None, theta_upwind: bool = True,
-                 vert_newton: str = "chord", do_temp_visc: bool = False):
+                 vert_newton: str = "chord", do_temp_visc: bool = False,
+                 corr_centering: str = "j"):
         self.ops = ops
         self.vo = vo
         # 'chord' (default) assembles the vertical-solve linearization once
@@ -66,6 +67,15 @@ class Euler3D:
         # instability driver; 'full' is kept as a robustness knob.
         assert vert_newton in ("full", "chord"), vert_newton
         self.vert_newton = vert_newton
+        # EC corrector centering for the vorticity/flux arguments: 'j'
+        # (default) passes the post-vertical-solve NEW states, matching the
+        # reference exactly -- solve_schur_eta copies the j states back into
+        # the velz_h/rho_h vectors before the corrector uses them
+        # (eul/VertSolve.cpp:1931-1934, eul/Euler_2.cpp:1472-1479); 'h'
+        # passes 0.5*(old+new) half states (an experimental extra-centered
+        # variant, NOT the reference).
+        assert corr_centering in ("h", "j"), corr_centering
+        self.corr_centering = corr_centering
         # f32 runs: assemble the vertical residuals in f64 to avoid the
         # hydrostatic cancellation (V01 Phi_z vs theta grad Pi are large
         # opposing terms); arrays are small [nk, nel, n2loc] so the emulated
@@ -1023,6 +1033,18 @@ class Euler3D:
         """state = (velx, w, rho, rt, exner, velx_prev)."""
         return self._step(*state, jnp.asarray(first))
 
+    def run_steps(self, state, nsteps: int):
+        """nsteps plain-Strang steps in ONE lax.scan dispatch (first=False
+        steps) -- the scan-chunked production runner for the non-EC path
+        (Euler::Strang, the reference's Held-Suarez integrator,
+        eul/HeldSuarez.cpp:352).  The plain path carries no Newton-norm aux;
+        returns max|w| of the final state as the health scalar production
+        drivers watch for NaN."""
+        def body(st, _):
+            return self._step_impl(*st, jnp.asarray(False)), None
+        state, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return state, dict(wmax=jnp.max(jnp.abs(state[1])))
+
     # ================================================================ trapezoidal step
     def horiz_rhs(self, u, w_z, rho, rt, exner, uz, dwdx, Fz):
         """Single-state horizontal RHS (Euler::HorizRHS, eul/Euler_2.cpp:340-427):
@@ -1133,11 +1155,15 @@ class Euler3D:
 
         # --- 3. explicit horizontal corrector (dt, half states)
         pi_h = 0.5 * (exner + pi_j)
-        uz_new, dwdx2 = self.shear_grad_pot(velx_1, w_j, rho_j)
-        Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
+        if self.corr_centering == "h":
+            w_c, rho_c = 0.5 * (w + w_j), 0.5 * (rho + rho_j)
+        else:
+            w_c, rho_c = w_j, rho_j
+        uz_new, dwdx2 = self.shear_grad_pot(velx_1, w_c, rho_c)
+        Fz = vo.diagnose_Fz(w, w_c, rho, rho_c, VAinv)
         fu, k2i_parts = self.momentum_rhs_ec(theta_l2_h, uz_new, uz_prev,
-                                             w_j, w, pi_h, velx, velx_1,
-                                             rho, rho_j, Fz, dwdx1, dwdx2)
+                                             w_c, w, pi_h, velx, velx_1,
+                                             rho, rho_c, Fz, dwdx1, dwdx2)
         if self.hs_forcing:
             fu = fu + self.hs_friction(0.5 * (velx + velx_1), pi_h)
         velx_2 = self.solve_M1k(self.apply_M1k(velx) - dt * fu, x0=velx_1)
