@@ -892,24 +892,44 @@ class Euler3D:
             DrDw = hdt * vo.apply_w(chiVB, vo.v10(mv(Rnu, d_w)))
             d_rho = -mv(VBinv, F_rho + DrDw)
 
-            # eta update + Theta back-substitution (:1858-1873) -- the state
-            # reconstruction stays EXACT (fresh inverse at rho_j)
+            # Theta back-substitution.  The reference reconstructs
+            # rt = VB^-1 proj[rho exp(VB^-1 proj[log theta] + d_eta)]
+            # (eul/VertSolve.cpp:1858-1873, VertOps.cpp:1204-1305).  The
+            # log->project->exp->project round trip through the LOSSY L2
+            # projection (16 quad points vs 9 modes) carries a Jensen
+            # (convexity) bias: rt is inflated by O((grad_z log theta)^2 h^2)
+            # PER STEP, independent of dt and Newton convergence -- measured
+            # +5e-5 Etot/step on the stratified sphere (HS ne4/nk8; the
+            # near-uniform-theta box oracle cannot see it), which pumped a
+            # top-of-model circulation until blowup.  Instead reconstruct
+            #   rt = VB^-1 VB(rho_n exp(d_eta)) theta
+            # directly from the W3 theta: at d_eta=0, d_rho=0 this is the
+            # identity EXACTLY (theta := VB(rho)^-1 VB rt), so the fixed
+            # point is bias-free while the d_eta Newton update acts the same
+            # way the reference's exp(eta + d_eta) does.
             th_j_W3 = jnp.einsum(
                 'lnij,lnj->lni',
                 inv_small(vo.wblk(vo.chi_VB_rho(rho_j))),
                 vo.apply_w(chiVB, rt_j))
-            eta_j = vo.log_theta_plus_eta(th_j_W3, d_eta)
 
             d = self.ops.dtype
             w_n = (w_j + d_w).astype(d)
             rho_n = (rho_j + d_rho).astype(d)
             pi_n = (pi_j + d_pi).astype(d)
-            rt_n = vo.rho_exp_eta(rho_n, eta_j).astype(d)
+            exp_deta = jnp.exp(jnp.clip(vo.phys_layer(d_eta), -30.0, 30.0))
+            rt_n = jnp.einsum(
+                'lnij,lnj->lni', VBinv,
+                vo.apply_w(vo.chi_VB_rho(rho_n) * exp_deta,
+                           th_j_W3)).astype(d)
 
             mx = lambda a, b: jnp.max(jnp.abs(a) / jnp.maximum(
                 jnp.max(jnp.abs(b)), 1e-30))
+            # d_eta is an increment of log(theta) ~ 6, so normalize against
+            # the physical log-theta magnitude
+            log_th = jnp.log(jnp.maximum(vo.phys_layer(th_j_W3), 1e-12))
             norms = jnp.stack([mx(d_pi, pi_n), mx(d_w, w_n),
-                               mx(d_rho, rho_n), mx(d_eta, eta_j)])
+                               mx(d_rho, rho_n),
+                               mx(vo.phys_layer(d_eta), log_th)])
             return (w_n, rho_n, rt_n, pi_n, ws), (norms, k2i_z)
 
         zf = jnp.zeros((nk, self.ops.ln1), self.ops.dtype)
