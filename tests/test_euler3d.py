@@ -99,6 +99,57 @@ def test_ec_entropy_drift_at_projection_level(umjs_ec):
     assert drift < 5e-3
 
 
+def test_eta_roundtrip_identity():
+    """The bias-free Theta back-substitution identity: since theta_l2 :=
+    VB(rho)^-1 VB rt, applying VB(rho) back MUST return VB rt exactly, so the
+    d_eta=0 reconstruction is the identity.  The reference-style
+    log->project->exp->project round trip (rho_exp_eta(log_theta_plus_eta))
+    instead carries a Jensen bias of O(1e-5..1e-4) on a stratified
+    atmosphere, which injected +5e-5 of total energy PER STEP and blew up
+    the production runs (see the fix in Euler3D.vert_solve_eta)."""
+    from mimsem_tpu.models.vertical import inv_small
+    from mimsem_tpu.testcases import umjs14
+    eul, state = umjs14.build(ne=3, p=3, nk=6, dt=60.0, dtype=jnp.float64)
+    _, _, rho, rt, _ = state[:5]
+    vo = eul.vo
+    th = vo.diag_theta_l2(rho, rt)
+    # the fixed path: exact at d_eta = 0
+    rt_new = jnp.einsum('lnij,lnj->lni', vo.VBinv_blk,
+                        vo.apply_w(vo.chi_VB_rho(rho), th))
+    err = float(jnp.max(jnp.abs(rt_new - rt) / jnp.abs(rt)))
+    assert err < 1e-12, f"round-trip identity broken: {err:.2e}"
+    # the reference-style path is measurably biased on the same state
+    # (this is the bug class the fix removes; keep it as a canary that the
+    # stratification actually exercises the lossy projection)
+    rt_ref = vo.rho_exp_eta(rho, vo.log_theta_plus_eta(th))
+    bias = float(jnp.max(jnp.abs(rt_ref - rt) / jnp.abs(rt)))
+    assert bias > 1e-6, f"canary: expected a visible Jensen bias, got {bias:.2e}"
+
+
+def test_ec_sphere_energy_no_secular_drift():
+    """Per-step total-energy drift of the unforced inviscid EC step on the
+    STRATIFIED SPHERE (the config whose +5e-5/step constant-sign leak the
+    near-uniform-theta box oracle could not see).  After the bias-free
+    back-substitution the drift is truncation-level and zero-mean."""
+    from mimsem_tpu.testcases import umjs14
+    eul, state = umjs14.build(ne=3, p=3, nk=6, dt=60.0, dtype=jnp.float64,
+                              do_visc=False)
+    st = eul.init_state_ec(*state[:5])
+    tot_prev = None
+    drifts = []
+    for i in range(4):
+        st, _ = eul.step_ec(st, first=(i == 0))
+        e = eul.energetics_ec(*st[:5])
+        tot = float(e["keh"] + e["kev"] + e["pe"] + e["ie"])
+        if tot_prev is not None:
+            drifts.append((tot - tot_prev) / abs(tot))
+        tot_prev = tot
+    drifts = np.asarray(drifts)
+    assert np.max(np.abs(drifts)) < 5e-6, drifts
+    # constant-sign drift at the old leak's magnitude must not reappear
+    assert abs(np.mean(drifts)) < 2e-6, drifts
+
+
 def test_ec_exchange_powers_finite(umjs_ec):
     eul, state, aux, e0, e1 = umjs_ec
     for k in ("k2i", "k2i_z", "k2p", "p2k"):
