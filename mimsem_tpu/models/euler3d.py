@@ -130,6 +130,7 @@ class Euler3D:
             # python float, not np.float64: a non-weak f64 scalar would
             # promote the whole viscosity path under x64
             self.del2 = -float(np.sqrt(0.072 * dx ** 3.2))
+            self._ones_q = jnp.ones_like(self.thickq)
         self._step = jax.jit(self._step_impl)
 
     # ================================================================ horizontal
@@ -193,14 +194,31 @@ class Euler3D:
     def e12k(self, x2):
         return jax.vmap(self.ops.e12)(x2.reshape(self.nk, -1))
 
+    # -------- volume-form weak-gradient pairings ---------------------------
+    # The 1-form test functions are POINT-VALUE velocities, so the weak
+    # gradient of a scalar must pair over the VOLUME: <div v, X>_V =
+    # (E21 v)^T B2^T [W * thick * X_phys].  A layer scalar stored as a
+    # density coefficient has X_phys = interp/(det*thick)  -> chi = 1/det;
+    # one stored as an area coefficient (e21k outputs, interp/det) ->
+    # chi = thick/det.  Pairing these with the AREA measure instead (the
+    # round-2 bug) made every horizontal acceleration 1/thick_k too small:
+    # a per-layer time dilation that preserved balance, conservation and
+    # all at-rest oracles while suppressing the baroclinic dynamics.
+    def _gradpair_density(self, x2):
+        return self.e12k(self.vo.apply_w(1.0 / self.vo.det, x2))
+
+    def _gradpair_area(self, d2):
+        return self.e12k(self.vo.apply_w(self.thickq / self.vo.det, d2))
+
     def grad_k(self, x2):
-        """Weak layer gradient M1k^-1 E12 M2k x."""
-        return self.solve_M1k(self.e12k(self.apply_M2k(x2)))
+        """Weak layer gradient of a density-coefficient scalar: pointwise
+        grad(x) = M1k(thick)^-1 <div v, x>_V."""
+        return self.solve_M1k(self._gradpair_density(x2))
 
     def grad_k2(self, x2a, x2b):
         """Two weak layer gradients in ONE batched CG (shared while_loop)."""
-        b = jnp.concatenate([self.e12k(self.apply_M2k(x2a)),
-                             self.e12k(self.apply_M2k(x2b))], 0)
+        b = jnp.concatenate([self._gradpair_density(x2a),
+                             self._gradpair_density(x2b)], 0)
         g = self.solve_M1k(b, wq=jnp.concatenate([self.thickq] * 2, 0))
         return g[:self.nk], g[self.nk:]
 
@@ -225,11 +243,15 @@ class Euler3D:
         return jax.vmap(solve_one)(du, tint)
 
     def laplacian_k(self, u):
-        """Vector laplacian grad(div) - rot(curl) per layer
-        (HorizSolve::laplacian, box/HorizSolve.cpp:185-213), scaled by del2."""
+        """POINT-VALUE vector laplacian grad(div) - rot(curl) per layer
+        (HorizSolve::laplacian, box/HorizSolve.cpp:185-213), scaled by del2.
+        Pure-2D operators throughout: u is a point-value velocity and the
+        result is the point-value del^2 u, so the caller's volume-weighted
+        mass application (apply_M1k / _m1k_local(., thickq)) yields the
+        correct physical viscous force."""
         ops = self.ops
-        d = self.e21k(u)
-        gd = self.grad_k(d)
+        b = self.e12k(jax.vmap(lambda uk: ops.apply_M2(ops.e21(uk)))(u))
+        gd = self.solve_M1k(b, wq=self._ones_q)
         w = self.curl_k(u)
         rc = jax.vmap(ops.e10)(w)
         return self.del2 * (gd - rc)
@@ -247,23 +269,29 @@ class Euler3D:
         return F, G
 
     def advection_rhs(self, u1, u2, rho1, rho2, theta):
-        """Horizontal flux divergences dF, dG feeding the vertical solve
-        (advection_rhs, box/HorizSolve.cpp:270-324)."""
+        """Horizontal flux-divergence FUNCTIONALS dF, dG feeding the vertical
+        solve (advection_rhs, box/HorizSolve.cpp:270-324): <phi, div F>_V =
+        B2^T[W divF_phys] against density test functions (chi = 1/det)."""
         vo = self.vo
         r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
         tp = vo.phys_int(theta)
         F, G = self.diagnose_fluxes(u1, u2, r1p, r2p, tp)
-        return self.e21k(F), self.e21k(G), F
+        chi_div = 1.0 / vo.det
+        return (vo.apply_w(chi_div, self.e21k(F)),
+                vo.apply_w(chi_div, self.e21k(G)), F)
 
     # ---------------------------------------------------------------- Phi / momentum
     def diagnose_Phi(self, u1, u2, w1, w2):
-        """Bernoulli 2-form per layer: horizontal KE (1/3 rule) + vertical KE
-        contribution from layer-averaged w (1/6 rule)
-        (diagnose_Phi, box/HorizSolve.cpp:326-380)."""
+        """Bernoulli functional per layer: horizontal KE (1/3 rule) + vertical
+        KE contribution from layer-averaged w (1/6 rule)
+        (diagnose_Phi, box/HorizSolve.cpp:326-380).  VOLUME-form pairing:
+        returns B2^T [W * thick * KE_phys], the functional whose E12 against
+        point-value 1-form tests is <div v, Phi>_V."""
         ops, vo = self.ops, self.vo
-        K = jax.vmap(ops.apply_K)
-        phi = (K(u1, u1) + K(u1, u2) + K(u2, u2)) / 3.0
-        phi = phi.reshape(self.nk, ops.nel, -1)
+        up1 = jax.vmap(ops.interp1_phys)(u1)     # (nk, nel, nq, 2)
+        up2 = jax.vmap(ops.interp1_phys)(u2)
+        ke = (jnp.sum(up1 * up1, -1) + jnp.sum(up1 * up2, -1)
+              + jnp.sum(up2 * up2, -1)) / 6.0
 
         def wbar_phys(w):
             wq = vo.phys_int(w)                  # (nk-1, nel, nq)
@@ -272,8 +300,8 @@ class Euler3D:
             return 0.5 * (wp[:-1] + wp[1:])      # (nk, nel, nq)
 
         wb1, wb2 = wbar_phys(w1), wbar_phys(w2)
-        phi = phi + vo.proj((wb1 * wb1 + wb1 * wb2 + wb2 * wb2) / 6.0)
-        return phi
+        ke = ke + (wb1 * wb1 + wb1 * wb2 + wb2 * wb2) / 6.0
+        return vo.proj(self.thickq * ke)
 
     def momentum_rhs(self, u1, u2, w1, w2, theta, exner, uz1, uz2, Fz, dwdx1,
                      dwdx2):
@@ -284,12 +312,13 @@ class Euler3D:
         Phi = self.diagnose_Phi(u1, u2, w1, w2)
         fu = self.e12k(Phi)
 
-        # vorticity (plus Coriolis on the sphere) cross product
+        # vorticity (plus Coriolis on the sphere) cross product, volume form
         uh = 0.5 * (u1 + u2)
         wk = self.curl_k(uh)
         if self.f0 is not None:
             wk = wk + self.f0[None, :]
-        fu = fu + jax.vmap(ops.apply_R)(wk, uh)
+        wqk = jax.vmap(ops.interp0)(wk) * ops.W * self.thickq
+        fu = fu + self.scatter1k(jax.vmap(ops.apply_Rq_local)(wqk, uh))
 
         # theta-weighted Exner gradient
         tbar = 0.5 * (vo.phys_int(theta)[:-1] + vo.phys_int(theta)[1:])
@@ -297,11 +326,13 @@ class Euler3D:
         fu = fu + self.apply_M1hk(dPi, tbar)
 
         # vertical-shear vorticity cross terms: 1/2 sum over adjacent
-        # interfaces of weak projection of Fz_phys * (du/dz - dw/dx)
+        # interfaces of tbar-weighted weak projection of
+        # Fz_phys * ((du/dz - dw/dx)/rho), exactly as in momentum_rhs_ec
         uzb = 0.5 * (uz1 + uz2)                         # (nk-1, ln1)
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
-        Fzp = vo.phys_int(Fz)                            # (nk-1, nel, nq)
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        Fzp = vo.phys_int(Fz) * tint                     # (nk-1, nel, nq)
         contrib = jax.vmap(ops.rhs_P1)(vec * Fzp[..., None])
         z = jnp.zeros_like(contrib[:1])
         cp = jnp.concatenate([z, contrib, z], 0)
@@ -324,13 +355,15 @@ class Euler3D:
         return self._solve_m1_int(du, tint * rint)
 
     def grad_int_pot(self, w, rho):
-        """rho-weighted interface gradient M1t(rho)^-1 E12 M2 w (dw/dx)/rho
-        (HorizSolve::diagVertVort, eul/HorizSolve.cpp:823-861)."""
+        """rho-weighted pointwise interface gradient (dw/dx)/rho
+        (HorizSolve::diagVertVort, eul/HorizSolve.cpp:823-861): solve
+        M1(tbar*rho) X = <v, tbar grad w> so X = (grad w)/rho, consistent
+        with dudz_pot's (du/dz)/rho (both point values per unit rho)."""
         ops, vo = self.ops, self.vo
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
         rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
-        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
-        b = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
+        b = jax.vmap(ops.e12)(
+            vo.apply_w(tint / vo.det, w).reshape(self.nk - 1, -1))
         return self._solve_m1_int(b, tint * rint)
 
     def shear_grad_pot(self, u, w, rho):
@@ -339,9 +372,9 @@ class Euler3D:
         stacking them halves the launch-latency-bound CG count."""
         ops, vo = self.ops, self.vo
         du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
-        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
-        bw = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        bw = jax.vmap(ops.e12)(
+            vo.apply_w(tint / vo.det, w).reshape(self.nk - 1, -1))
         rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
         wq = tint * rint
         x = self._solve_m1_int(jnp.concatenate([du, bw], 0),
@@ -394,17 +427,20 @@ class Euler3D:
         b = self.scatter1k(
             self._m1k_local(u1, self.thickq * (r1p / 3.0 + r2p / 6.0))
             + self._m1k_local(u2, self.thickq * (r1p / 6.0 + r2p / 3.0)))
-        bth = self.e12k(self.apply_M2k(theta_l2))
+        bth = self._gradpair_density(theta_l2)
         F0, dTh0, G0 = (None, None, None) if ws is None else ws
         x0 = None if ws is None else jnp.concatenate([F0, dTh0], 0)
         x = self.solve_M1k(jnp.concatenate([b, bth], 0),
                            wq=jnp.concatenate([self.thickq] * 2, 0), x0=x0)
         F, dTh = x[:nk], x[nk:]
         G = self.solve_M1k(self.apply_M1hk(F, thp), x0=G0)
-        chiVB = vo.chi_VB()
-        dF = vo.apply_w(chiVB, self.e21k(F))
-        dG = 0.5 * vo.apply_w(chiVB, self.e21k(G)) \
-            + 0.5 * vo.apply_w(vo.chi_VB_rho(theta_l2), self.e21k(F))
+        # density test functions (phys = interp/(det*thick)) cancel the
+        # thickness of the volume measure: <phi, div F>_V = B2^T[W divF_phys]
+        # -> chi = 1/det on the area-coefficient e21k outputs
+        chi_div = 1.0 / vo.det
+        dF = vo.apply_w(chi_div, self.e21k(F))
+        dG = 0.5 * vo.apply_w(chi_div, self.e21k(G)) \
+            + 0.5 * vo.apply_w(thp * chi_div, self.e21k(F))
         dThp = jax.vmap(self.ops.interp1_phys)(dTh)
         Fp = jax.vmap(self.ops.interp1_phys)(F)
         dG = dG + vo.proj(0.5 * jnp.sum(dThp * Fp, axis=-1))
@@ -417,8 +453,8 @@ class Euler3D:
             r_mid = 0.5 * (r1p + r2p)
             rdT = self.solve_M1k(self.scatter1k(
                 self._m1k_local(dTh, self.thickq * r_mid)))
-            d3 = self.grad_k(self.e21k(rdT))
-            dG = dG + (self.del2 ** 2) * vo.apply_w(chiVB, self.e21k(d3))
+            d3 = self.solve_M1k(self._gradpair_area(self.e21k(rdT)))
+            dG = dG + (self.del2 ** 2) * vo.apply_w(chi_div, self.e21k(d3))
         return dF, dG, F, (F, dTh, G)
 
     def momentum_rhs_ec(self, theta_l2, uz1, uz2, w1, w2, exner,
@@ -446,7 +482,8 @@ class Euler3D:
 
         # ---- sum-of-locals assembly: ONE DSS for the whole forcing ----
         loc = self.e12k_local(Phi)
-        wqk = jax.vmap(ops.interp0)(q) * ops.W
+        # volume pairing vs point-value 1-form tests: x thickq
+        wqk = jax.vmap(ops.interp0)(q) * ops.W * self.thickq
         loc = loc + jax.vmap(ops.apply_Rq_local)(wqk, F)
 
         # +-1/2 pressure splitting: theta grad(Pi) = 1/2 theta grad(Pi)
@@ -456,7 +493,8 @@ class Euler3D:
         dPi, dTh = self.grad_k2(exner, theta_l2)
         t1 = self._m1k_local(dPi, 0.5 * self.thickq * thp)
         t2 = self._m1k_local(dTh, -0.5 * self.thickq * pip)
-        prod = vo.apply_w(vo.chi_VB_rho(exner), theta_l2)
+        # <div v, Pi theta>_V: B2^T[W thick Pi theta] -> chi = Pi_phys/det
+        prod = vo.apply_w(pip / vo.det, theta_l2)
         dp = 0.5 * self.e12k_local(prod)
         loc = loc + t1 + t2 + dp
         # kinetic->internal exchange powers of the three pressure terms
@@ -469,11 +507,15 @@ class Euler3D:
         k2i_parts = jnp.stack([_dot_hp(Ff, t1), _dot_hp(Ff, t2),
                                _dot_hp(Ff, dp)])
 
-        # vertical-vorticity cross terms with the rho-weighted shear
+        # vertical-vorticity cross terms with the rho-weighted shear:
+        # uz/dwdx are pointwise (du/dz - grad w)/rho, Fz_phys = rho*w, and
+        # the interface-localized volume pairing carries tbar (half to each
+        # adjacent layer below)
         uzb = 0.5 * (uz1 + uz2)
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
-        Fzp = vo.phys_int(Fz)
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        Fzp = vo.phys_int(Fz) * tint
         contrib = jax.vmap(ops.rhs_P1_local)(vec * Fzp[..., None])
         z = jnp.zeros_like(contrib[:1])
         cp = jnp.concatenate([z, contrib, z], 0)
@@ -639,9 +681,11 @@ class Euler3D:
                 dFz = vo_r.v10(Fz)
                 dGz = vo_r.v10(Gz)
                 F_rho = vo_r.apply_w(vo_r.chi_VB(),
-                                     c64(rho_j - rho_i) + dt * dFz + dt * c64(dFx))
+                                     c64(rho_j - rho_i) + dt * dFz) \
+                    + dt * c64(dFx)
                 F_rt = vo_r.apply_w(vo_r.chi_VB(),
-                                    c64(rt_j - rt_i) + dt * dGz + dt * c64(dGx))
+                                    c64(rt_j - rt_i) + dt * dGz) \
+                    + dt * c64(dGx)
                 f32 = lambda a: jnp.asarray(a, self.ops.dtype)
                 F_w, F_pi, F_rho, F_rt = map(f32, (F_w, F_pi, F_rho, F_rt))
                 gradpi = f32(gradpi)
@@ -652,8 +696,8 @@ class Euler3D:
                 F_pi = vo.eos_residual(rt_j, pi_j)
                 dFz = vo.v10(Fz)
                 dGz = vo.v10(Gz)
-                F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz + dt * dFx)
-                F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz + dt * dGx)
+                F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * dFz) + dt * dFx
+                F_rt = vo.apply_w(chiVB, rt_j - rt_i + dt * dGz) + dt * dGx
             if rt_forcing_fn is not None:
                 F_rt = F_rt + dt * rt_forcing_fn(rho_h, rt_h, pi_h, theta_h)
 
@@ -975,12 +1019,12 @@ class Euler3D:
 
     # ================================================================ aux diagnostics
     def grad_int(self, w):
-        """Horizontal gradient 1-forms of the interface field w (diagVertVort
-        analogue, eul/HorizSolve.cpp:823-861)."""
+        """Pointwise horizontal gradient 1-forms of the interface field w
+        (diagVertVort analogue, eul/HorizSolve.cpp:823-861)."""
         ops, vo = self.ops, self.vo
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
-        chi = 0.5 * (vo.chi_VB()[:-1] + vo.chi_VB()[1:])
-        b = jax.vmap(ops.e12)(vo.apply_w(chi, w).reshape(self.nk - 1, -1))
+        b = jax.vmap(ops.e12)(
+            vo.apply_w(tint / vo.det, w).reshape(self.nk - 1, -1))
         def solve_one(bk, tk):
             G = ops.G1 * tk[..., None, None]
             mv = lambda x: ops.scatter1(ops._apply_G(ops.gather1(x), G))
@@ -991,14 +1035,21 @@ class Euler3D:
                               dot=ops.dot1)
         return jax.vmap(solve_one)(b, tint)
 
-    def uuz_term(self, u, uz):
-        """u . du/dz projected onto interface 2-forms (AssembleVertMomVort,
-        box/VertSolve.cpp:1460+)."""
+    def uuz_term(self, u, uz, rint=None):
+        """u . du/dz as an interface w-equation functional (AssembleVertMomVort,
+        box/VertSolve.cpp:1460+): <phi_w, u.du/dz>_V = B2^T[W tbar (u.du/dz)]
+        for density interface tests (phys = interp/det).  With `rint` the
+        shear uz is the rho-weighted pointwise (du/dz)/rho from
+        shear_grad_pot, un-weighted back by the interface density."""
         ops, vo = self.ops, self.vo
         ub = 0.5 * (u[:-1] + u[1:])                     # interface-avg velocity
         up = jax.vmap(ops.interp1_phys)(ub)             # (nk-1, nel, nq, 2)
         uzp = jax.vmap(ops.interp1_phys)(uz)
-        return vo.proj(jnp.sum(up * uzp, axis=-1))
+        tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
+        s = jnp.sum(up * uzp, axis=-1)
+        if rint is not None:
+            s = s * rint
+        return vo.proj(tint * s)
 
     # ================================================================ step
     def _step_impl(self, velx, w, rho, rt, exner, velx_prev, first):
@@ -1007,8 +1058,7 @@ class Euler3D:
                                 tau=self.theta_tau)
 
         # --- 1. explicit horizontal predictor (leapfrog 2dt after first step)
-        uz1 = self.dudz(velx)
-        dwdx1 = self.grad_int(w)
+        uz1, dwdx1 = self.shear_grad_pot(velx, w, rho)
         VAinv = vo.VA_inv_blocks()
         Fz1 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
         fu0 = self.momentum_rhs(velx, velx, w, w, theta_i, exner, uz1, uz1,
@@ -1021,7 +1071,8 @@ class Euler3D:
         velx_1 = self.solve_M1k(bu)
 
         # --- 2. implicit vertical solve
-        uuz = self.uuz_term(velx, uz1)
+        rp = vo.phys_layer(rho)
+        uuz = self.uuz_term(velx, uz1, rint=0.5 * (rp[:-1] + rp[1:]))
         def dFx_fn(rho_j):
             theta_h = vo.diag_theta(0.5 * (rho + rho_j), rt,
                                     w=w if self.theta_tau else None,
@@ -1036,8 +1087,7 @@ class Euler3D:
                                 tau=self.theta_tau)
         theta_h = 0.5 * (theta_i + theta_j)
         pi_h = 0.5 * (exner + pi_j)
-        uz2 = self.dudz(velx_1)
-        dwdx2 = self.grad_int(w_j)
+        uz2, dwdx2 = self.shear_grad_pot(velx_1, w_j, rho_j)
         Fz = vo.diagnose_Fz(w, w_j, rho, rho_j, VAinv)
         fu = self.momentum_rhs(velx, velx_1, w_j, w, theta_h, pi_h, uz2, uz1,
                                Fz, dwdx1, dwdx2)
@@ -1092,20 +1142,22 @@ class Euler3D:
         VAinv = vo.VA_inv_blocks()
 
         # stage 0
-        uz0 = self.dudz(velx)
-        dwdx0 = self.grad_int(w)
+        uz0, dwdx0 = self.shear_grad_pot(velx, w, rho)
         Fz0 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
-        uuz = self.uuz_term(velx, uz0)
+        rp = vo.phys_layer(rho)
+        uuz = self.uuz_term(velx, uz0, rint=0.5 * (rp[:-1] + rp[1:]))
         Fu0, Fp0, Ft0 = self.horiz_rhs(velx, w, rho, rt, exner, uz0, dwdx0, Fz0)
 
-        # 1. explicit Euler horizontal predictor
+        # 1. explicit Euler horizontal predictor (Fp/Ft are volume-form
+        # functionals against density tests -> coefficient update via VB^-1)
+        vbinv = lambda b: jnp.einsum('lnij,lnj->lni', vo.VBinv_blk, b)
         velx_1 = self.solve_M1k(self.apply_M1k(velx) - dt * Fu0)
-        rho_1 = rho - dt * Fp0
-        rt_1 = rt - dt * Ft0
+        rho_1 = rho - dt * vbinv(Fp0)
+        rt_1 = rt - dt * vbinv(Ft0)
         pi_1 = vo.eos_exner(rt_1)
 
         # 2. trapezoidal horizontal redo (velz stays state-0, :841)
-        uz1 = self.dudz(velx_1)
+        uz1, _ = self.shear_grad_pot(velx_1, w, rho_1)
         Fu1, Fp1, Ft1 = self.horiz_rhs(velx_1, w, rho_1, rt_1, pi_1, uz1,
                                        dwdx0, Fz0)
         velx_2 = self.solve_M1k(self.apply_M1k(velx) - 0.5 * dt * (Fu0 + Fu1))
@@ -1115,8 +1167,7 @@ class Euler3D:
             w, rho, rt, exner, lambda rho_j: (dFh, dGh, None), uuz)
 
         # 3. trapezoidal horizontal corrector + final vertical solve
-        uz2 = self.dudz(velx_2)
-        dwdx2 = self.grad_int(w_2)
+        uz2, dwdx2 = self.shear_grad_pot(velx_2, w_2, rho_2)
         Fz2 = vo.diagnose_Fz(w_2, w_2, rho_2, rho_2, VAinv)
         Fu2, Fp2, Ft2 = self.horiz_rhs(velx_2, w_2, rho_2, rt_2, pi_2, uz2,
                                        dwdx2, Fz2)

@@ -10,7 +10,7 @@ out="${1:-demo/umjs14}"
 for d in 12 16 20 24; do
     [ -f "$out/layers_$(printf %04d $d).npz" ] && \
         python scr/plot_baroclinic.py "$out/layers_$(printf %04d $d).npz" \
-            --level 1
+            --level 1 --dump-hours 12
 done
 python scr/plot_energetics.py "$out/energetics.dat"
 last=$(ls "$out"/layers_*.npz | tail -1)

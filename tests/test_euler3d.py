@@ -181,6 +181,13 @@ def test_ec_budget_closure_f64():
         e_prev = e
 
 
+@pytest.mark.xfail(strict=True, reason=(
+    "point-value velocity convention: the volume-form weak gradient "
+    "B2^T[W thick p] omits the integration-by-parts metric term "
+    "int p v.grad(thick), so theta grad(Pi) and gravity do not cancel "
+    "discretely over sloped layers.  Restored by the flux-form (thickInv) "
+    "convention -- the reference's eul/Assembly.cpp:109 design -- in the "
+    "follow-up commit."))
 def test_terrain_hydrostatic_balance():
     """A balanced isentropic atmosphere over a RESOLVED cosine hill stays
     balanced through full HEVI steps: w excited only at truncation level and
@@ -264,3 +271,52 @@ def test_diag_theta_upwind_direction():
     # interface i shifted toward the layer below it, for every interface
     sign = np.sign(d.mean(axis=(1, 2)))
     assert np.all(sign == np.sign(below)), (sign, np.sign(below))
+
+
+def test_horizontal_advection_scale_thickness_independent():
+    """A vortex riding a uniform flow U must feel the advective acceleration
+    a = U du'/dx (max = U * amp/L for v' = amp*(x/L)exp(-r^2/L^2)), and the
+    acceleration must NOT depend on the layer thickness.
+
+    This is the oracle class every other test missed: the round-3 bug paired
+    the horizontal RHS functionals over the AREA while the velocity mass is
+    VOLUME-form, time-dilating all horizontal dynamics by 1/thick_k per
+    layer.  Balance, conservation, budget closure, scheme identity and all
+    at-rest/vertical oracles are invariant under that per-layer dilation --
+    only an absolute acceleration scale (or a moving feature) can see it.
+    The 12-day UMJS14 production run showed the symptom: the perturbation
+    sat frozen at (20E, 40N) for 12 days instead of advecting and growing."""
+    U0, AMP, L = 10.0, 0.5, 150.0
+
+    def max_accel(nk):
+        eul, _ = bubble.build(ne=6, p=3, nk=nk, dt=0.01, dtype=jnp.float64)
+        rho = eul.project_layers(bubble.rho_init)
+        rt = eul.project_layers(lambda x, z: bubble.rho_init(x, z) * 300.0)
+        exner = eul.project_layers(bubble.exner_init)
+
+        def fu(x, z):
+            xi, yi = x[..., 0] - 300.0, x[..., 1] - 500.0
+            return U0 - AMP * (yi / L) * jnp.exp(-(xi**2 + yi**2) / L**2)
+
+        def fv(x, z):
+            xi, yi = x[..., 0] - 300.0, x[..., 1] - 500.0
+            return AMP * (xi / L) * jnp.exp(-(xi**2 + yi**2) / L**2)
+
+        velx = eul.project_velx(fu, fv)
+        w = jnp.zeros((eul.nk - 1, eul.ops.nel, 9), jnp.float64)
+        vo = eul.vo
+        theta_l2 = vo.diag_theta_l2(rho, rt)
+        VAinv = vo.VA_inv_blocks()
+        uz0, dwdx0 = eul.shear_grad_pot(velx, w, rho)
+        Fz0 = vo.diagnose_Fz(w, w, rho, rho, VAinv)
+        fu_ec, _ = eul.momentum_rhs_ec(theta_l2, uz0, uz0, w, w, exner,
+                                       velx, velx, rho, rho, Fz0, dwdx0,
+                                       dwdx0)
+        acc = eul.solve_M1k(fu_ec)
+        return float(jnp.max(jnp.abs(jax.vmap(eul.ops.interp1_phys)(acc))))
+
+    a8, a4 = max_accel(8), max_accel(4)
+    expect = U0 * AMP / L                  # 0.0333 m/s^2 at the vortex core
+    assert 0.7 < a8 / expect < 1.4, (a8, expect)
+    # thickness independence: nk=4 doubles every layer thickness
+    assert abs(a8 - a4) / a8 < 1e-3, (a8, a4)
