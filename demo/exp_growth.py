@@ -64,6 +64,7 @@ def main():
     if args.scheme == "strang":
         skeys = skeys[:-1]
     cstep, f = mio.load_checkpoint(args.ckpt)
+    f = mio.migrate_velx_flux(f, eul.vo)   # pre-flux-form checkpoints
     state = tuple(jnp.asarray(f[k], jnp.float32) for k in skeys)
     print(f"loaded {args.ckpt} at step {cstep} scheme={args.scheme}",
           flush=True)
@@ -79,7 +80,8 @@ def main():
         velx, w, rho, rt, exner = state[:5]
         pex = eul.vo.phys_layer(exner)[0]
         p = P0 * (pex / CP) ** (CP / RD) / 100.0
-        up = eul.ops.interp1_phys(velx[l1km])
+        # flux-form coefficients: physical wind = interp/thick
+        up = eul.ops.interp1_phys(velx[l1km]) * eul.tiq[l1km][..., None]
         v = jnp.abs(up[..., 1])
         return (jnp.min(jnp.where(nh, p, 1e9)),
                 jnp.max(jnp.where(nh, v, 0.0)))

@@ -58,6 +58,7 @@ def main():
     print(f"build {time.time()-t0:.0f}s", flush=True)
     skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev", "uz_prev")
     cstep, f = mio.load_checkpoint(args.ckpt)
+    f = mio.migrate_velx_flux(f, eul.vo)   # pre-flux-form checkpoints
     state0 = tuple(jnp.asarray(f[k], dtype) for k in skeys)
     print(f"replaying from step {cstep}", flush=True)
 

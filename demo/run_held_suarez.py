@@ -69,6 +69,7 @@ def main():
     t_run = 0.0
     if os.path.exists(ckpt_path):
         cstep, f = mio.load_checkpoint(ckpt_path)
+        f = mio.migrate_velx_flux(f, eul.vo)   # pre-flux-form checkpoints
         state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
         t_run = float(f["t_run"]) if "t_run" in f else 0.0
         step = cstep

@@ -84,6 +84,7 @@ def main():
         # bookkeeping, so the resumed trajectory continues the original one
         # exactly (bit-exact round-trip: tests/test_restart_convergence.py)
         cstep, f = mio.load_checkpoint(ckpt_path)
+        f = mio.migrate_velx_flux(f, eul.vo)   # pre-flux-form checkpoints
         state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
         e0v = np.asarray(f["e0"], np.float64)
         e0 = None if np.isnan(e0v).all() else dict(zip(hdr, e0v))

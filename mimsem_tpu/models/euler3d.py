@@ -28,6 +28,22 @@ Weak-form convention: every layer "2-form weak vector" is proj(physical
 value) with quadrature weights only; layer mass VB = Wblk(1/(det thick))
 coincides with the vertical constant mass, making the horizontal and vertical
 sub-systems automatically compatible.
+
+FLUX-FORM horizontal velocity (the reference's thickInv design,
+eul/Assembly.cpp:109,229-232): a layer 1-form coefficient u represents the
+layer-integrated flux -- its PHYSICAL point value is interp1_phys(u)/thick.
+Every volume pairing then carries thick * (1/thick)^s where s counts the
+velocity slots (test + velocity-valued data), e.g. the layer mass is
+M1k(1/thick) and the Bernoulli/divergence pairings lose their thickness
+weight entirely.  The payoff is exact integration by parts over SLOPED
+layers: div(iF) = div(thick rho u) pointwise, so the weak gradient of a
+scalar carries no spurious int p v.grad(thick) metric term, and terrain
+(Geom::initTopog, eul/Geom.cpp:743-761) enters through the per-quad-point
+levels alone.  Over terrain the Bernoulli function must also carry the
+layer-mean geopotential g zbar(x,y) -- the Hamiltonian delta-H/delta-F term
+the reference omits because every upstream driver passes f_topog = 0
+(eul/HeldSuarez.cpp:234-236); for horizontally-flat levels it contributes
+exactly zero (E12 proj(const) = 0 on the assembled closed mesh).
 """
 from __future__ import annotations
 
@@ -120,8 +136,10 @@ class Euler3D:
         self.mass_tol = 1e-13 if ops.dtype == jnp.float64 else 1e-6
         self.f0 = ops.proj0(coriolis) if coriolis is not None else None
         self.zv = vo.zv_gz()                     # (nk, nel, n2loc)
-        # mean layer thickness (for 1-form layer masses); (nk, nel, nq)
+        # layer thickness per quad point and its inverse -- the flux-form
+        # velocity weight (module docstring); (nk, nel, nq)
         self.thickq = vo.thickq
+        self.tiq = 1.0 / vo.thickq
         if do_visc or do_temp_visc:
             # biharmonic coefficient del^2 = -sqrt(0.072 dx^3.2) (Guba et al.
             # 2014; eul/HorizSolve.cpp:112-119)
@@ -156,11 +174,14 @@ class Euler3D:
         return self.scatter1k(self._m1k_local(u, k_weight))
 
     def apply_M1k(self, u):
-        return self._m1k(u, self.thickq)
+        """Flux-form layer 1-form volume mass: <v, u>_V = int iv.iu/thick
+        (Umat::assemble vert_scale, eul/Assembly.cpp:109-112)."""
+        return self._m1k(u, self.tiq)
 
     def apply_M1hk(self, u, hphys):
-        """rho/theta-weighted layer 1-form mass; hphys (nk, nel, nq) physical."""
-        return self._m1k(u, self.thickq * hphys)
+        """rho/theta-weighted layer 1-form mass; hphys (nk, nel, nq) physical.
+        Flux form: <v, h u>_V = int iv.iu h/thick (Uhmat, eul/Assembly.cpp:445-447)."""
+        return self._m1k(u, self.tiq * hphys)
 
     def solve_M1k(self, b, wq=None, x0=None):
         """CG on the thickness-weighted layer mass, block-PC per element.
@@ -171,7 +192,7 @@ class Euler3D:
         cost).  `x0` warm-starts (Newton iterates change little between
         iterations, cutting CG depth severalfold)."""
         ops = self.ops
-        tq = self.thickq if wq is None else wq
+        tq = self.tiq if wq is None else wq
         def mv(u):
             return self._m1k(u, tq)
         def pc(r):
@@ -195,31 +216,32 @@ class Euler3D:
         return jax.vmap(self.ops.e12)(x2.reshape(self.nk, -1))
 
     # -------- volume-form weak-gradient pairings ---------------------------
-    # The 1-form test functions are POINT-VALUE velocities, so the weak
-    # gradient of a scalar must pair over the VOLUME: <div v, X>_V =
-    # (E21 v)^T B2^T [W * thick * X_phys].  A layer scalar stored as a
-    # density coefficient has X_phys = interp/(det*thick)  -> chi = 1/det;
-    # one stored as an area coefficient (e21k outputs, interp/det) ->
-    # chi = thick/det.  Pairing these with the AREA measure instead (the
-    # round-2 bug) made every horizontal acceleration 1/thick_k too small:
-    # a per-layer time dilation that preserved balance, conservation and
-    # all at-rest oracles while suppressing the baroclinic dynamics.
+    # With FLUX-FORM 1-form tests (v_phys = iv/thick) the divergence of the
+    # Piola interpolant IS the flux divergence: <v, grad X>_V integrates by
+    # parts EXACTLY to -int X_phys div(iv) dA = -(E21 v)^T B2^T[W chi ix]
+    # with NO int X v.grad(thick) metric residue -- the property that keeps
+    # a balanced atmosphere balanced over sloped (terrain-following) layers.
+    # A density-coefficient scalar (X_phys = interp/(det*thick)) gives
+    # chi = 1/(det*thick); an area coefficient (e21k outputs, interp/det)
+    # gives chi = 1/det.  (The round-2 bug paired the point-value convention
+    # over the AREA, time-dilating all horizontal dynamics by 1/thick.)
     def _gradpair_density(self, x2):
-        return self.e12k(self.vo.apply_w(1.0 / self.vo.det, x2))
+        return self.e12k(self.vo.apply_w(self.tiq / self.vo.det, x2))
 
     def _gradpair_area(self, d2):
-        return self.e12k(self.vo.apply_w(self.thickq / self.vo.det, d2))
+        return self.e12k(self.vo.apply_w(1.0 / self.vo.det, d2))
 
     def grad_k(self, x2):
         """Weak layer gradient of a density-coefficient scalar: pointwise
-        grad(x) = M1k(thick)^-1 <div v, x>_V."""
+        grad(x) = M1k(1/thick)^-1 <div v, x>_V (HorizSolve::grad with the
+        vert_scale masses, eul/HorizSolve.cpp:208-228)."""
         return self.solve_M1k(self._gradpair_density(x2))
 
     def grad_k2(self, x2a, x2b):
         """Two weak layer gradients in ONE batched CG (shared while_loop)."""
         b = jnp.concatenate([self._gradpair_density(x2a),
                              self._gradpair_density(x2b)], 0)
-        g = self.solve_M1k(b, wq=jnp.concatenate([self.thickq] * 2, 0))
+        g = self.solve_M1k(b, wq=jnp.concatenate([self.tiq] * 2, 0))
         return g[:self.nk], g[self.nk:]
 
     def curl_k(self, u):
@@ -227,10 +249,13 @@ class Euler3D:
         return jax.vmap(lambda uk: ops.solve_M0(ops.e01(ops.apply_M1(uk))))(u)
 
     def dudz(self, u):
-        """du/dz 1-forms on interior interfaces: M1int^-1 M1(u_{k+1} - u_k)
-        (HorizVort, box/Euler_2.cpp:1480-1522)."""
+        """du/dz 1-forms on interior interfaces: M1int^-1 (M1 u_phys jump)
+        (HorizVort, box/Euler_2.cpp:1480-1522).  The jump is of the PHYSICAL
+        velocity: flux coefficients carry per-layer 1/thick weights."""
         ops = self.ops
-        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        mu = jax.vmap(lambda uk, tk: ops.apply_M1(uk, weight_q=tk))(
+            u, self.tiq)
+        du = mu[1:] - mu[:-1]
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
         def solve_one(bk, tk):
             G = ops.G1 * tk[..., None, None]
@@ -243,12 +268,14 @@ class Euler3D:
         return jax.vmap(solve_one)(du, tint)
 
     def laplacian_k(self, u):
-        """POINT-VALUE vector laplacian grad(div) - rot(curl) per layer
-        (HorizSolve::laplacian, box/HorizSolve.cpp:185-213), scaled by del2.
-        Pure-2D operators throughout: u is a point-value velocity and the
-        result is the point-value del^2 u, so the caller's volume-weighted
-        mass application (apply_M1k / _m1k_local(., thickq)) yields the
-        correct physical viscous force."""
+        """COEFFICIENT vector laplacian grad(div) - rot(curl) per layer
+        (HorizSolve::laplacian, box/HorizSolve.cpp:185-213; the reference
+        likewise chains E21/E12 on the raw coefficients), scaled by del2.
+        For flux coefficients and per-layer-constant thickness the result is
+        thick * del^2(u_phys), so the caller's flux-form volume mass
+        (apply_M1k / _m1k_local(., tiq)) yields the physical viscous force;
+        over terrain the biharmonic is an approximate regularization (as in
+        the reference, whose drivers never run nonzero terrain)."""
         ops = self.ops
         b = self.e12k(jax.vmap(lambda uk: ops.apply_M2(ops.e21(uk)))(u))
         gd = self.solve_M1k(b, wq=self._ones_q)
@@ -276,7 +303,9 @@ class Euler3D:
         r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
         tp = vo.phys_int(theta)
         F, G = self.diagnose_fluxes(u1, u2, r1p, r2p, tp)
-        chi_div = 1.0 / vo.det
+        # flux-form F: e21(F) = div(thick rho u) exactly; density-test
+        # volume pairing -> chi = chi_VB = 1/(det thick)
+        chi_div = vo.chi_VB()
         return (vo.apply_w(chi_div, self.e21k(F)),
                 vo.apply_w(chi_div, self.e21k(G)), F)
 
@@ -284,12 +313,23 @@ class Euler3D:
     def diagnose_Phi(self, u1, u2, w1, w2):
         """Bernoulli functional per layer: horizontal KE (1/3 rule) + vertical
         KE contribution from layer-averaged w (1/6 rule)
-        (diagnose_Phi, box/HorizSolve.cpp:326-380).  VOLUME-form pairing:
-        returns B2^T [W * thick * KE_phys], the functional whose E12 against
-        point-value 1-form tests is <div v, Phi>_V."""
+        (diagnose_Phi, box/HorizSolve.cpp:326-380, eul/HorizSolve.cpp:419-474)
+        + the layer-mean geopotential g zbar(x,y).  Returns B2^T[W Phi_phys]:
+        against flux-form tests, <div v, Phi>_V = int Phi div(iv) dA = the
+        E12 of this functional (the thickness cancels).
+
+        The g zbar term is the Hamiltonian dH/dF contribution of the
+        potential energy: over TERRAIN a layer's height varies with x, so
+        moving mass along the layer changes PE and the momentum equation
+        needs the compensating g grad(zbar) force (the continuum hydrostatic
+        identity cp theta dPi = -g dz along a sloped isentrope).  For
+        horizontally-flat levels zbar is constant per layer and E12 of its
+        projection is exactly zero on the assembled closed mesh, which is why
+        the reference (whose drivers all pass f_topog = 0,
+        eul/HeldSuarez.cpp:234-236) never needed it."""
         ops, vo = self.ops, self.vo
-        up1 = jax.vmap(ops.interp1_phys)(u1)     # (nk, nel, nq, 2)
-        up2 = jax.vmap(ops.interp1_phys)(u2)
+        up1 = jax.vmap(ops.interp1_phys)(u1) * self.tiq[..., None]
+        up2 = jax.vmap(ops.interp1_phys)(u2) * self.tiq[..., None]
         ke = (jnp.sum(up1 * up1, -1) + jnp.sum(up1 * up2, -1)
               + jnp.sum(up2 * up2, -1)) / 6.0
 
@@ -301,7 +341,12 @@ class Euler3D:
 
         wb1, wb2 = wbar_phys(w1), wbar_phys(w2)
         ke = ke + (wb1 * wb1 + wb1 * wb2 + wb2 * wb2) / 6.0
-        return vo.proj(self.thickq * ke)
+        # per-layer constant shifts drop out exactly (E12 proj(const) = 0
+        # assembled), so subtract the layer mean: flat levels contribute a
+        # bit-exact zero and terrain a well-scaled deviation in f32
+        zbar = 0.5 * (vo.levs[:-1] + vo.levs[1:])
+        gzbar = GRAVITY * (zbar - jnp.mean(zbar, axis=(1, 2), keepdims=True))
+        return vo.proj(ke + gzbar)
 
     def momentum_rhs(self, u1, u2, w1, w2, theta, exner, uz1, uz2, Fz, dwdx1,
                      dwdx2):
@@ -312,12 +357,16 @@ class Euler3D:
         Phi = self.diagnose_Phi(u1, u2, w1, w2)
         fu = self.e12k(Phi)
 
-        # vorticity (plus Coriolis on the sphere) cross product, volume form
+        # vorticity (plus Coriolis on the sphere) cross product: the weak
+        # curl of the PHYSICAL velocity (flux coefficients carry 1/thick),
+        # paired <v, (omega+f) zhat x u>_V -> quad weight W/thick (two flux
+        # velocity slots against one thickness measure)
         uh = 0.5 * (u1 + u2)
-        wk = self.curl_k(uh)
+        wk = jax.vmap(lambda uk, tk: ops.solve_M0(
+            ops.e01(ops.apply_M1(uk, weight_q=tk))))(uh, self.tiq)
         if self.f0 is not None:
             wk = wk + self.f0[None, :]
-        wqk = jax.vmap(ops.interp0)(wk) * ops.W * self.thickq
+        wqk = jax.vmap(ops.interp0)(wk) * ops.W * self.tiq
         fu = fu + self.scatter1k(jax.vmap(ops.apply_Rq_local)(wqk, uh))
 
         # theta-weighted Exner gradient
@@ -327,16 +376,18 @@ class Euler3D:
 
         # vertical-shear vorticity cross terms: 1/2 sum over adjacent
         # interfaces of tbar-weighted weak projection of
-        # Fz_phys * ((du/dz - dw/dx)/rho), exactly as in momentum_rhs_ec
+        # Fz_phys * ((du/dz - dw/dx)/rho), exactly as in momentum_rhs_ec.
+        # Interface-localized pairing against flux tests: each adjacent
+        # layer's half-share carries that layer's 1/thick.
         uzb = 0.5 * (uz1 + uz2)                         # (nk-1, ln1)
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
-        Fzp = vo.phys_int(Fz) * tint                     # (nk-1, nel, nq)
-        contrib = jax.vmap(ops.rhs_P1)(vec * Fzp[..., None])
-        z = jnp.zeros_like(contrib[:1])
-        cp = jnp.concatenate([z, contrib, z], 0)
-        fu = fu + 0.5 * (cp[:-1] + cp[1:])
+        tq = vec * (vo.phys_int(Fz) * tint)[..., None]   # physical integrand
+        zq = jnp.zeros_like(tq[:1])
+        tpad = jnp.concatenate([zq, tq, zq], 0)
+        tsum = 0.5 * (tpad[:-1] + tpad[1:])              # (nk, nel, nq, 2)
+        fu = fu + jax.vmap(ops.rhs_P1)(tsum * self.tiq[..., None])
 
         if self.do_visc:
             lap = self.laplacian_k(self.laplacian_k(uh))
@@ -347,9 +398,12 @@ class Euler3D:
     def dudz_pot(self, u, rho):
         """rho-weighted vertical shear (du/dz)/rho on interior interfaces:
         M1t(rho)^-1 (M1 u_{k+1} - M1 u_k) -- the 'horizontal potential
-        vorticity' of the EC scheme (Euler::HorizPotVort, eul/Euler_2.cpp)."""
+        vorticity' of the EC scheme (Euler::HorizPotVort, eul/Euler_2.cpp).
+        The jump is of the PHYSICAL velocity (flux coefficients / thick)."""
         ops, vo = self.ops, self.vo
-        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        mu = jax.vmap(lambda uk, tk: ops.apply_M1(uk, weight_q=tk))(
+            u, self.tiq)
+        du = mu[1:] - mu[:-1]
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
         rint = 0.5 * (vo.phys_layer(rho)[:-1] + vo.phys_layer(rho)[1:])
         return self._solve_m1_int(du, tint * rint)
@@ -371,7 +425,9 @@ class Euler3D:
         solve -- both systems carry the SAME rho-weighted interface metric, so
         stacking them halves the launch-latency-bound CG count."""
         ops, vo = self.ops, self.vo
-        du = jax.vmap(ops.apply_M1)(u[1:] - u[:-1])
+        mu = jax.vmap(lambda uk, tk: ops.apply_M1(uk, weight_q=tk))(
+            u, self.tiq)
+        du = mu[1:] - mu[:-1]
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
         bw = jax.vmap(ops.e12)(
             vo.apply_w(tint / vo.det, w).reshape(self.nk - 1, -1))
@@ -396,10 +452,12 @@ class Euler3D:
 
     def diagnose_q_k(self, u_h, rho_h_phys):
         """Per-layer potential vorticity q = M0h(rho)^-1 (M0 f + E01 M1 u)
-        (HorizSolve::diagnose_q, eul/HorizSolve.cpp:475-494)."""
+        (HorizSolve::diagnose_q, eul/HorizSolve.cpp:475-494).  Circulation
+        pairing <curl psi, u>_V = int (grad-perp psi).iu dA carries NO
+        thickness for flux-form u (thick * 1/thick cancels)."""
         ops = self.ops
         def one(uk, rk, tk):
-            rhs = ops.e01(ops.apply_M1(uk, weight_q=tk))
+            rhs = ops.e01(ops.apply_M1(uk))
             if self.f0 is not None:
                 rhs = rhs + ops.apply_M0(self.f0, weight_q=tk)
             return rhs / ops.m0_lumped(tk * rk)
@@ -425,24 +483,25 @@ class Euler3D:
         r1p, r2p = vo.phys_layer(rho1), vo.phys_layer(rho2)
         thp = vo.phys_layer(theta_l2)
         b = self.scatter1k(
-            self._m1k_local(u1, self.thickq * (r1p / 3.0 + r2p / 6.0))
-            + self._m1k_local(u2, self.thickq * (r1p / 6.0 + r2p / 3.0)))
+            self._m1k_local(u1, self.tiq * (r1p / 3.0 + r2p / 6.0))
+            + self._m1k_local(u2, self.tiq * (r1p / 6.0 + r2p / 3.0)))
         bth = self._gradpair_density(theta_l2)
         F0, dTh0, G0 = (None, None, None) if ws is None else ws
         x0 = None if ws is None else jnp.concatenate([F0, dTh0], 0)
         x = self.solve_M1k(jnp.concatenate([b, bth], 0),
-                           wq=jnp.concatenate([self.thickq] * 2, 0), x0=x0)
+                           wq=jnp.concatenate([self.tiq] * 2, 0), x0=x0)
         F, dTh = x[:nk], x[nk:]
         G = self.solve_M1k(self.apply_M1hk(F, thp), x0=G0)
-        # density test functions (phys = interp/(det*thick)) cancel the
-        # thickness of the volume measure: <phi, div F>_V = B2^T[W divF_phys]
-        # -> chi = 1/det on the area-coefficient e21k outputs
-        chi_div = 1.0 / vo.det
+        # F is the flux-form mass flux: iF = thick rho u, so e21(F) is the
+        # EXACT layer-integrated mass-flux divergence (the reference's
+        # strong E21 F, eul/HorizSolve.cpp:365) and the density-test pairing
+        # is <phi, .>_V with chi = chi_VB = 1/(det thick)
+        chi_div = vo.chi_VB()
         dF = vo.apply_w(chi_div, self.e21k(F))
         dG = 0.5 * vo.apply_w(chi_div, self.e21k(G)) \
             + 0.5 * vo.apply_w(thp * chi_div, self.e21k(F))
-        dThp = jax.vmap(self.ops.interp1_phys)(dTh)
-        Fp = jax.vmap(self.ops.interp1_phys)(F)
+        dThp = jax.vmap(self.ops.interp1_phys)(dTh) * self.tiq[..., None]
+        Fp = jax.vmap(self.ops.interp1_phys)(F) * self.tiq[..., None]
         dG = dG + vo.proj(0.5 * jnp.sum(dThp * Fp, axis=-1))
         if self.do_temp_visc:
             # biharmonic temperature dissipation del2^2 grad(div(rho grad
@@ -452,7 +511,7 @@ class Euler3D:
             # Reuses the EC theta gradient dTh already solved above.
             r_mid = 0.5 * (r1p + r2p)
             rdT = self.solve_M1k(self.scatter1k(
-                self._m1k_local(dTh, self.thickq * r_mid)))
+                self._m1k_local(dTh, self.tiq * r_mid)))
             d3 = self.solve_M1k(self._gradpair_area(self.e21k(rdT)))
             dG = dG + (self.del2 ** 2) * vo.apply_w(chi_div, self.e21k(d3))
         return dF, dG, F, (F, dTh, G)
@@ -476,14 +535,14 @@ class Euler3D:
         q = self.diagnose_q_k(u_h, 0.5 * (r1p + r2p))
         # weight linearity: 4 rho-weighted masses collapse to 2, one DSS
         b = self.scatter1k(
-            self._m1k_local(u1, self.thickq * (r1p / 3.0 + r2p / 6.0))
-            + self._m1k_local(u2, self.thickq * (r1p / 6.0 + r2p / 3.0)))
+            self._m1k_local(u1, self.tiq * (r1p / 3.0 + r2p / 6.0))
+            + self._m1k_local(u2, self.tiq * (r1p / 6.0 + r2p / 3.0)))
         F = self.solve_M1k(b)
 
         # ---- sum-of-locals assembly: ONE DSS for the whole forcing ----
         loc = self.e12k_local(Phi)
-        # volume pairing vs point-value 1-form tests: x thickq
-        wqk = jax.vmap(ops.interp0)(q) * ops.W * self.thickq
+        # volume pairing of two flux-form 1-forms (test v, trial F): x 1/thick
+        wqk = jax.vmap(ops.interp0)(q) * ops.W * self.tiq
         loc = loc + jax.vmap(ops.apply_Rq_local)(wqk, F)
 
         # +-1/2 pressure splitting: theta grad(Pi) = 1/2 theta grad(Pi)
@@ -491,10 +550,11 @@ class Euler3D:
         thp = vo.phys_layer(theta_l2)
         pip = vo.phys_layer(exner)
         dPi, dTh = self.grad_k2(exner, theta_l2)
-        t1 = self._m1k_local(dPi, 0.5 * self.thickq * thp)
-        t2 = self._m1k_local(dTh, -0.5 * self.thickq * pip)
-        # <div v, Pi theta>_V: B2^T[W thick Pi theta] -> chi = Pi_phys/det
-        prod = vo.apply_w(pip / vo.det, theta_l2)
+        t1 = self._m1k_local(dPi, 0.5 * self.tiq * thp)
+        t2 = self._m1k_local(dTh, -0.5 * self.tiq * pip)
+        # <div v, Pi theta>_V = int Pi_phys theta_phys div(iv) dA ->
+        # chi = Pi_phys * chi_VB on the theta coefficients
+        prod = vo.apply_w(pip * vo.chi_VB(), theta_l2)
         dp = 0.5 * self.e12k_local(prod)
         loc = loc + t1 + t2 + dp
         # kinetic->internal exchange powers of the three pressure terms
@@ -515,15 +575,15 @@ class Euler3D:
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)      # (nk-1, nel, nq, 2)
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
-        Fzp = vo.phys_int(Fz) * tint
-        contrib = jax.vmap(ops.rhs_P1_local)(vec * Fzp[..., None])
-        z = jnp.zeros_like(contrib[:1])
-        cp = jnp.concatenate([z, contrib, z], 0)
-        loc = loc + 0.5 * (cp[:-1] + cp[1:])
+        tq = vec * (vo.phys_int(Fz) * tint)[..., None]   # physical integrand
+        zq = jnp.zeros_like(tq[:1])
+        tpad = jnp.concatenate([zq, tq, zq], 0)
+        tsum = 0.5 * (tpad[:-1] + tpad[1:])              # (nk, nel, nq, 2)
+        loc = loc + jax.vmap(ops.rhs_P1_local)(tsum * self.tiq[..., None])
 
         if self.do_visc:
             lap = self.laplacian_k(self.laplacian_k(u_h))
-            loc = loc + self._m1k_local(lap, self.thickq)
+            loc = loc + self._m1k_local(lap, self.tiq)
         return self.scatter1k(loc), k2i_parts
 
     # ================================================================ vertical implicit
@@ -996,7 +1056,7 @@ class Euler3D:
         p = (pip / CP) ** (CP / RD)
         sigma = p / p[0:1]
         kv = kf * jnp.maximum(0.0, (sigma - sigma_b) / (1.0 - sigma_b))
-        return self._m1k(u, self.thickq * kv)
+        return self._m1k(u, self.tiq * kv)
 
     def hs_temp_forcing(self, rho, rt, exner, theta):
         """Temperature relaxation rho k_T (theta - theta_eq) projected onto
@@ -1042,8 +1102,9 @@ class Euler3D:
         shear uz is the rho-weighted pointwise (du/dz)/rho from
         shear_grad_pot, un-weighted back by the interface density."""
         ops, vo = self.ops, self.vo
-        ub = 0.5 * (u[:-1] + u[1:])                     # interface-avg velocity
-        up = jax.vmap(ops.interp1_phys)(ub)             # (nk-1, nel, nq, 2)
+        # interface-avg PHYSICAL velocity: per-layer 1/thick before averaging
+        ua = jax.vmap(ops.interp1_phys)(u) * self.tiq[..., None]
+        up = 0.5 * (ua[:-1] + ua[1:])                   # (nk-1, nel, nq, 2)
         uzp = jax.vmap(ops.interp1_phys)(uz)
         tint = 0.5 * (self.thickq[:-1] + self.thickq[1:])
         s = jnp.sum(up * uzp, axis=-1)
@@ -1327,7 +1388,7 @@ class Euler3D:
         rhop = vo.phys_layer(rho)
         rtp = vo.phys_layer(rt)
         pip = vo.phys_layer(exner)
-        up = jax.vmap(ops.interp1_phys)(velx)             # (nk, nel, nq, 2)
+        up = jax.vmap(ops.interp1_phys)(velx) * self.tiq[..., None]
         k_h = jnp.sum(dV * 0.5 * rhop * jnp.sum(up ** 2, axis=-1))
         wq = vo.phys_int(w)
         z = jnp.zeros_like(wq[:1])
@@ -1351,12 +1412,17 @@ class Euler3D:
         return vo._project_layer(vals).astype(vo.dtype)
 
     def project_velx(self, fu, fv):
-        """Per-level projection of horizontal velocity (fu/fv of (x, z))."""
+        """Volume-weighted projection of horizontal velocity (fu/fv of (x, z))
+        onto FLUX-FORM coefficients: M1k(1/thick) u = <v, u_analytic>_V, whose
+        right side is the plain area functional rhs_P1 (the thickness of the
+        measure cancels the test's 1/thick); iu/thick then L2-approximates
+        the analytic wind in the volume metric."""
         ops, vo = self.ops, self.vo
         zmid = 0.5 * (vo.levs[:-1] + vo.levs[1:])
         def one(zk):
             fq = jnp.stack([fu(ops.x, zk), fv(ops.x, zk)], axis=-1)
-            return ops.solve_M1(ops.rhs_P1(fq), tol=self.mass_tol)
+            return ops.rhs_P1(fq)
+        b = jax.vmap(one)(zmid)
         # the analytic IC closures may evaluate in f64 (host numpy constants
         # under x64); the state must come out in the model dtype
-        return jax.vmap(one)(zmid).astype(ops.dtype)
+        return self.solve_M1k(b.astype(ops.dtype)).astype(ops.dtype)

@@ -72,7 +72,9 @@ def write_layers(ops, vo, fields: dict, step, outdir="output"):
             out[name] = np.asarray(vo.phys_int(coef))
         elif kind == "u1":
             import jax
-            up = np.asarray(jax.vmap(ops.interp1_phys)(coef))
+            # flux-form layer 1-forms: physical wind = interp/thick
+            up = np.asarray(jax.vmap(ops.interp1_phys)(coef)) \
+                / np.asarray(vo.thickq)[..., None]
             out[name + "_x"] = up[..., 0]
             out[name + "_y"] = up[..., 1]
         else:
@@ -101,7 +103,10 @@ def save_checkpoint(path, step, **fields):
     ~50 MB f32 state costs seconds per save on a 1-core host."""
     _ensure(os.path.dirname(path) or ".")
     tmp = path + ".tmp.npz"
-    np.savez(tmp, __step=step,
+    # format marker: horizontal-velocity coefficients are FLUX-FORM
+    # (iu = thick * u_phys); pre-marker checkpoints are point-value and
+    # upgraded on load by migrate_velx_flux
+    np.savez(tmp, __step=step, __vel_form="flux",
              **{k: np.asarray(v) for k, v in fields.items()})
     os.replace(tmp, path)
 
@@ -109,5 +114,26 @@ def save_checkpoint(path, step, **fields):
 def load_checkpoint(path):
     data = np.load(path)
     step = int(data["__step"])
-    fields = {k: jnp.asarray(data[k]) for k in data.files if k != "__step"}
+    # "__"-prefixed keys are format markers (strings/meta), not device arrays
+    fields = {k: (np.asarray(data[k]) if k.startswith("__")
+                  else jnp.asarray(data[k]))
+              for k in data.files if k != "__step"}
     return step, fields
+
+
+def migrate_velx_flux(fields, vo, keys=("velx", "velx_prev")):
+    """Upgrade a pre-flux-form 3D checkpoint: point-value horizontal-velocity
+    coefficients -> flux form (iu_new = thick_k * iu_old, exact for
+    horizontally-uniform levels -- asserted).  No-op on checkpoints carrying
+    the __vel_form='flux' marker."""
+    if "__vel_form" in fields and str(fields["__vel_form"]) == "flux":
+        return fields
+    tq = np.asarray(vo.thickq)
+    if not np.allclose(tq, tq[:, :1, :1], rtol=1e-10):
+        raise ValueError("cannot migrate a point-value checkpoint on "
+                         "terrain-following (horizontally-varying) levels")
+    scale = tq.mean(axis=(1, 2))[:, None]
+    for k in keys:
+        if k in fields:
+            fields[k] = fields[k] * jnp.asarray(scale, fields[k].dtype)
+    return fields
