@@ -71,7 +71,7 @@ class Euler3D:
                  newton_iters: int = 4, hs_forcing: bool = False,
                  f64_resid: bool = None, theta_upwind: bool = True,
                  vert_newton: str = "chord", do_temp_visc: bool = False,
-                 corr_centering: str = "j"):
+                 corr_centering: str = "j", rayleigh_levels: int = 3):
         self.ops = ops
         self.vo = vo
         # 'chord' (default) assembles the vertical-solve linearization once
@@ -115,18 +115,21 @@ class Euler3D:
         self.do_temp_visc = do_temp_visc
         self.rayleigh = rayleigh
         if rayleigh:
-            # graded top sponge on w: full/half/quarter weight on the top
-            # three interior interfaces (VertOps::AssembleRayleigh,
-            # eul/VertOps.cpp -- the 0.5/0.25/0.125 thickness factors are
-            # the VA mass x {1, 1/2, 1/4}).  Without it, waves reflecting
-            # off the rigid lid accumulate and the 12-day UMJS14 run blows
-            # up around day 3.
-            if vo.nk < 4:
+            # graded top sponge on w: 2^-(i-1) weights on the top
+            # `rayleigh_levels` interior interfaces (VertOps::AssembleRayleigh,
+            # eul/VertOps.cpp fixes 3: the 0.5/0.25/0.125 thickness factors
+            # are the VA mass x {1, 1/2, 1/4}; deeper absorbers -- e.g. for
+            # mountain-wave radiation -- grade the same way).  Without it,
+            # waves reflecting off the rigid lid accumulate and the 12-day
+            # UMJS14 run blows up around day 3.
+            if vo.nk < rayleigh_levels + 1:
                 raise ValueError(
-                    f"rayleigh sponge needs >= 3 interior interfaces "
-                    f"(nk >= 4), got nk={vo.nk}; pass rayleigh=0.0")
+                    f"rayleigh sponge needs >= {rayleigh_levels} interior "
+                    f"interfaces (nk >= {rayleigh_levels + 1}), got "
+                    f"nk={vo.nk}; pass rayleigh=0.0")
             prof = np.zeros((vo.nk - 1, 1, 1))
-            prof[-1], prof[-2], prof[-3] = 1.0, 0.5, 0.25
+            for i in range(1, rayleigh_levels + 1):
+                prof[-i] = 0.5 ** (i - 1)
             self.ray_prof = jnp.asarray(prof, ops.dtype)
         self.newton_iters = newton_iters
         self.hs_forcing = hs_forcing
