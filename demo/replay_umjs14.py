@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--temp-visc", action="store_true",
                     help="enable the reference's biharmonic theta dissipation")
+    ap.add_argument("--vert-newton", default="full", choices=["full", "chord"],
+                    help="vertical Newton mode (production driver default: "
+                    "full)")
     ap.add_argument("--dt-scale", type=float, default=1.0,
                     help="stability probe: scale dt (leapfrog memory in the "
                     "checkpoint is then approximate)")
@@ -54,7 +57,8 @@ def main():
         kw["do_temp_visc"] = True
     eul, _ = umjs14.build(ne=args.ne, p=3, nk=args.nk,
                           dt=args.dt * args.dt_scale,
-                          dtype=dtype, newton_iters=args.iters[0], **kw)
+                          dtype=dtype, newton_iters=args.iters[0],
+                          vert_newton=args.vert_newton, **kw)
     print(f"build {time.time()-t0:.0f}s", flush=True)
     skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev", "uz_prev")
     cstep, f = mio.load_checkpoint(args.ckpt)

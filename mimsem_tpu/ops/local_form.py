@@ -81,6 +81,7 @@ class LocalOps(SpaceOps):
         self.ln2 = self.nel * p * p
 
         self._build_meta(topo)
+        self._build_xpanel_tables()
         # multiplicity weights for inner products (1/#copies per local slot);
         # built from the (possibly el_perm-reordered) host views so flat
         # indices agree with the device element order
@@ -309,6 +310,82 @@ class LocalOps(SpaceOps):
             for (f, cy, cx, iy, ix) in group:
                 o0[f:f + 1, cy:cy + 1, cx:cx + 1, iy:iy + 1, ix:ix + 1] = tot
 
+    def _build_xpanel_tables(self):
+        """Batched cross-panel exchange tables (single-chip hot path).
+
+        The meta.pairs1/pairs0/verts0 loops in the slicing cores compile to
+        ~100 tiny dynamic-slice/update kernels per DSS (12 strip pairs x 4
+        slices + 8 vertex groups x 6 picks); at ~2-4 us launch/sequencing
+        latency each, that is most of the DSS cost, and the DSS runs inside
+        every Krylov matvec (ROOFLINE.md).  Every cross-panel slot has a
+        static partner (1-forms: exactly one signed partner; 0-form edge
+        copies: the canonical slot on the other face; cube vertices: two),
+        so the whole exchange is ONE gather + ONE scatter of ~12*ne*p
+        boundary slots -- the additions per slot are identical to the
+        sequential pair loop, so the result is bit-exact."""
+        if self.periodic or self.nf == 1 or not getattr(self, 'meta', None):
+            self._x1_idx = None
+            self._x0_idx = None
+            return
+        meta, p, np1, ne = self.meta, self.p, self.p + 1, self.nex
+        n2loc1 = 2 * self.n1loc
+        # ---- 1-forms: flat slot + flat partner + relative sign
+        idx, pid, sgn = [], [], []
+        for ka, kb, flip, s in meta.pairs1:
+            ela, sla = self._strip1(*ka)
+            elb, slb = self._strip1(*kb)
+            fa = ela * n2loc1 + sla
+            fb = elb * n2loc1 + slb
+            if flip:
+                fb = fb[::-1]
+            idx.append(fa); pid.append(fb); sgn.append(np.full(fa.size, s))
+            idx.append(fb); pid.append(fa); sgn.append(np.full(fa.size, s))
+        self._x1_idx = jnp.asarray(np.concatenate(idx), jnp.int32)
+        self._x1_pid = jnp.asarray(np.concatenate(pid), jnp.int32)
+        self._x1_sgn = jnp.asarray(np.concatenate(sgn), self.dtype)
+
+        # ---- 0-forms: every edge-interior COPY slot gets + canonical partner
+        n0loc = np1 * np1
+        def copies(f, side, k):
+            """All local (el, slot) copies of canonical strip node k."""
+            e = min(k // p, ne - 1)
+            r = k - e * p
+            out = [(e, r)]
+            if r == 0 and e > 0:
+                out.append((e - 1, p))
+            res = []
+            for ee, rr in out:
+                if side == 'E':
+                    res.append((f * ne * ne + ee * ne + (ne - 1), rr * np1 + p))
+                elif side == 'W':
+                    res.append((f * ne * ne + ee * ne + 0, rr * np1 + 0))
+                elif side == 'N':
+                    res.append((f * ne * ne + (ne - 1) * ne + ee, p * np1 + rr))
+                else:
+                    res.append((f * ne * ne + 0 * ne + ee, 0 * np1 + rr))
+            return [el * n0loc + sl for el, sl in res]
+        S = ne * p + 1
+        idx0, pid0 = [], []
+        for ka, kb, flip in meta.pairs0:
+            ela, sla = self._strip0(*ka)
+            elb, slb = self._strip0(*kb)
+            cana = ela * n0loc + sla
+            canb = elb * n0loc + slb
+            for k in range(1, S - 1):
+                kb_ = S - 1 - k if flip else k
+                for c in copies(*ka, k):
+                    idx0.append(c); pid0.append(canb[kb_])
+                for c in copies(*kb, kb_):
+                    idx0.append(c); pid0.append(cana[k])
+        self._x0_idx = jnp.asarray(np.asarray(idx0), jnp.int32)
+        self._x0_pid = jnp.asarray(np.asarray(pid0), jnp.int32)
+        # ---- cube vertices: (8, 3) slot groups summed in group order
+        groups = []
+        for group in meta.verts0:
+            groups.append([f * ne * ne * n0loc + (cy * ne + cx) * n0loc
+                           + iy * np1 + ix for (f, cy, cx, iy, ix) in group])
+        self._xv_idx = jnp.asarray(np.asarray(groups), jnp.int32)
+
     def _build_partner_tables(self, topo: Topology):
         """Flat partner index/sign tables driving the gather DSS.
 
@@ -531,17 +608,17 @@ class LocalOps(SpaceOps):
             v1x = v1x.at[:, :, -1, :, p].set(s).at[:, :, 0, :, 0].set(s)
             s = v1y[:, -1, :, p, :] + v1y[:, 0, :, 0, :]
             v1y = v1y.at[:, -1, :, p, :].set(s).at[:, 0, :, 0, :].set(s)
-        else:
-            for ka, kb, flip, sgn in self.meta.pairs1:
-                a = self._get_strip1(v1x, v1y, ka)
-                b = self._get_strip1(v1x, v1y, kb)
-                bb = b[::-1, ::-1] if flip else b
-                t = a + sgn * bb
-                v1x, v1y = self._set_strip1(v1x, v1y, ka, t)
-                tb = sgn * (t[::-1, ::-1] if flip else t)
-                v1x, v1y = self._set_strip1(v1x, v1y, kb, tb)
+            out = jnp.concatenate([v1x.reshape(self.nel, n1loc),
+                                   v1y.reshape(self.nel, n1loc)], axis=1)
+            return out.reshape(vl.shape)
+        # cross-panel: one gather + one scatter over all 12 strip pairs at
+        # once (each boundary slot has exactly one signed partner; the
+        # addition per slot is identical to the sequential pair loop)
         out = jnp.concatenate([v1x.reshape(self.nel, n1loc),
-                               v1y.reshape(self.nel, n1loc)], axis=1)
+                               v1y.reshape(self.nel, n1loc)],
+                              axis=1).reshape(-1)
+        ex = out[self._x1_idx] + self._x1_sgn * out[self._x1_pid]
+        out = out.at[self._x1_idx].set(ex)
         return out.reshape(vl.shape)
 
     def _get_strip0(self, v0, key):
@@ -608,26 +685,19 @@ class LocalOps(SpaceOps):
         if self.periodic:
             s = v0[:, -1, :, p, :] + v0[:, 0, :, 0, :]
             v0 = v0.at[:, -1, :, p, :].set(s).at[:, 0, :, 0, :].set(s)
-        else:
-            for ka, kb, flip in self.meta.pairs0:
-                a = self._get_strip0(v0, ka)
-                b = self._get_strip0(v0, kb)
-                bb = b[::-1] if flip else b
-                # endpoints (cube vertices) handled separately: exchange
-                # interior.  Concatenate instead of .at[1:-1].add: the slice
-                # add is bit-identical either way, but .at[].add lowers to the
-                # scatter-add primitive, which Mosaic (Pallas TPU) cannot
-                # lower inside _pallas_dss.
-                t = jnp.concatenate([a[:1], a[1:-1] + bb[1:-1], a[-1:]])
-                tb = t[::-1] if flip else t
-                tb = tb.at[0].set(b[0]).at[-1].set(b[-1])
-                v0 = self._set_strip0(v0, ka, t)
-                v0 = self._set_strip0(v0, kb, tb)
-            for group in self.meta.verts0:
-                tot = sum(v0[f, cy, cx, iy, ix] for (f, cy, cx, iy, ix) in group)
-                for (f, cy, cx, iy, ix) in group:
-                    v0 = v0.at[f, cy, cx, iy, ix].set(tot)
-        return v0.reshape(vl.shape)
+            return v0.reshape(vl.shape)
+        # cross-panel edge interiors: one gather + one scatter over all 12
+        # pairs (every copy slot += the canonical partner value on the other
+        # face; copies agree after the in-face passes, so this is bit-exact
+        # vs the sequential strip loop).  Cube vertices: (8, 3) group sums in
+        # group order, the same total scattered to all three copies.
+        v = v0.reshape(-1)
+        ex = v[self._x0_idx] + v[self._x0_pid]
+        v = v.at[self._x0_idx].set(ex)
+        g = v[self._xv_idx]                               # (8, 3)
+        tot = (g[:, 0] + g[:, 1]) + g[:, 2]
+        v = v.at[self._xv_idx].set(tot[:, None])
+        return v.reshape(vl.shape)
 
     # ------------------------------------------------------------------ overrides
     def gather0(self, u0):

@@ -38,11 +38,11 @@ def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200, dot=None):
     tol2 = tol * tol * jnp.maximum(bnorm2, 1e-300)
 
     def cond(state):
-        x, r, p, rz, k = state
-        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
+        x, r, p, rz, rr, k = state
+        return jnp.logical_and(k < maxiter, rr > tol2)
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, rr, k = state
         Ap = mv(p)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
@@ -51,9 +51,10 @@ def cg(mv, b, pc=None, x0=None, tol=1e-14, maxiter=200, dot=None):
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1)
+        return (x, r, p, rz_new, dot(r, r), k + 1)
 
-    x, r, p, rz, k = lax.while_loop(cond, body, (x, r, p, rz, 0))
+    x, r, p, rz, rr, k = lax.while_loop(cond, body,
+                                        (x, r, p, rz, dot(r, r), 0))
     return x * bscale
 
 
@@ -127,42 +128,41 @@ def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30,
 
         V, H = lax.fori_loop(0, m, body, (V, H))
         # least squares min || beta e1 - H y || via Givens rotations (no dense
-        # factorizations: the TPU backend has no f64 LU/SVD)
-        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        R = jnp.zeros((m, m), dtype)
-        cs = jnp.zeros(m, dtype)
-        sn = jnp.zeros(m, dtype)
-
-        def givens_col(j, carry):
-            R, g, cs, sn = carry
-            col = H[:, j]
-
-            def apply_prev(i, col):
-                a = jnp.where(i < j, cs[i] * col[i] + sn[i] * col[i + 1], col[i])
-                bb = jnp.where(i < j, -sn[i] * col[i] + cs[i] * col[i + 1], col[i + 1])
-                return col.at[i].set(a).at[i + 1].set(bb)
-
-            col = lax.fori_loop(0, m, apply_prev, col)
-            r = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
-            c = jnp.where(r > 0, col[j] / jnp.maximum(r, 1e-300), 1.0)
-            s = jnp.where(r > 0, col[j + 1] / jnp.maximum(r, 1e-300), 0.0)
-            col = col.at[j].set(r).at[j + 1].set(0.0)
+        # factorizations: the TPU backend has no f64 LU/SVD).  The QR and the
+        # back-substitution are UNROLLED over the static restart length: as
+        # lax.fori_loops they execute O(m^2) ~2 us scalar kernels sequenced on
+        # device (~2.6 ms per cycle at m=12, a dominant step cost); unrolled,
+        # the whole O(m^2) scalar DAG fuses into a handful of kernels.
+        # Scalars are kept in Python lists so no .at[].set chains appear.
+        col = [[H[i, j] for i in range(m + 1)] for j in range(m)]
+        g = [beta] + [jnp.zeros((), dtype)] * m
+        Rd = [[None] * m for _ in range(m)]
+        cs = [None] * m
+        sn = [None] * m
+        for j in range(m):
+            cj = col[j]
+            for i in range(j):
+                a = cs[i] * cj[i] + sn[i] * cj[i + 1]
+                bb = -sn[i] * cj[i] + cs[i] * cj[i + 1]
+                cj[i], cj[i + 1] = a, bb
+            r = jnp.sqrt(cj[j] ** 2 + cj[j + 1] ** 2)
+            c = jnp.where(r > 0, cj[j] / jnp.maximum(r, 1e-300), 1.0)
+            s = jnp.where(r > 0, cj[j + 1] / jnp.maximum(r, 1e-300), 0.0)
+            cj[j], cj[j + 1] = r, jnp.zeros((), dtype)
             gj, gj1 = g[j], g[j + 1]
-            g = g.at[j].set(c * gj + s * gj1).at[j + 1].set(-s * gj + c * gj1)
-            R = R.at[:, j].set(col[:m])
-            return (R, g, cs.at[j].set(c), sn.at[j].set(s))
-
-        R, g, cs, sn = lax.fori_loop(0, m, givens_col, (R, g, cs, sn))
-
-        def backsub(jj, y):
-            j = m - 1 - jj
-            acc = g[j] - jnp.dot(R[j], y)
-            diag = R[j, j]
-            yj = jnp.where(jnp.abs(diag) > 1e-300, acc / jnp.where(diag == 0, 1.0, diag), 0.0)
-            return y.at[j].set(yj)
-
-        y = lax.fori_loop(0, m, backsub, jnp.zeros(m, dtype))
-        dx = pc(y @ V[:m])
+            g[j], g[j + 1] = c * gj + s * gj1, -s * gj + c * gj1
+            for i in range(m):
+                Rd[i][j] = cj[i] if i <= j else jnp.zeros((), dtype)
+            cs[j], sn[j] = c, s
+        y = [None] * m
+        for j in range(m - 1, -1, -1):
+            acc = g[j]
+            for kk in range(j + 1, m):
+                acc = acc - Rd[j][kk] * y[kk]
+            diag = Rd[j][j]
+            y[j] = jnp.where(jnp.abs(diag) > 1e-300,
+                             acc / jnp.where(diag == 0, 1.0, diag), 0.0)
+        dx = pc(jnp.stack(y) @ V[:m])
         return x + dx
 
     def cond(state):

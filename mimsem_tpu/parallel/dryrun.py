@@ -121,11 +121,49 @@ def run(n_devices: int) -> None:
         assert errs[name] < 1e-10, f"sharded 3D {name}: rel={errs[name]:.3e}"
     de = max(errs.values())
 
+    # --- production-shaped sphere EC step (UMJS14 ne=12/nk=30) ------------
+    # the toy bubble above proves the collective schedule; this catches the
+    # shape/memory cliffs of the REAL flagship configuration (deg-3 cubed
+    # sphere, 30 stretched levels, 1.32M DOF) on a genuinely 2-D tile mesh.
+    dp = None
+    for dr in range(n_devices, 0, -1):
+        dc = n_devices // dr
+        if dr * dc == n_devices and dc > 1 and 72 % dr == 0 and 12 % dc == 0:
+            dp = (dr, dc)
+            break
+    dprod = None
+    if dp is not None:
+        from mimsem_tpu.testcases import umjs14
+        eu0, su0 = umjs14.build(ne=12, p=3, nk=30, dt=75.0,
+                                dtype=jnp.float64, newton_iters=2)
+        rpa, _ = eu0.step_ec(su0, first=True)
+        meshp = make_mesh2(*dp)
+        eu1, su1 = umjs14.build(ne=12, p=3, nk=30, dt=75.0,
+                                dtype=jnp.float64, newton_iters=2,
+                                el_sharding=element_sharding(meshp))
+        assert eu1.ops.spmd is not None and eu1.ops.spmd.Dc == dp[1], \
+            "production-shape owner-computes DSS should be active"
+        rpb, _ = eu1.step_ec(su1, first=True)
+        jax.block_until_ready(rpb[0])
+        perrs = {}
+        for xa, xb, name in zip(rpa[:5], rpb[:5],
+                                ("velx", "w", "rho", "rt", "exner")):
+            xb = eu1.ops.struct_order(xb)
+            na = np.linalg.norm(np.asarray(xa).ravel())
+            perrs[name] = (np.linalg.norm(
+                (np.asarray(xa) - np.asarray(xb)).ravel()) / max(na, 1.0))
+            assert perrs[name] < 1e-10, \
+                f"production-shape 3D {name}: rel={perrs[name]:.3e}"
+        dprod = max(perrs.values())
+
     tile = "" if du2 is None else (
         f"; 2-D tile mesh {d2} rel err u={du2:.2e} h={dh2:.2e}")
+    prod = "" if dprod is None else (
+        f"; UMJS14 ne=12/nk=30 EC step on 2-D mesh {dp} rel err "
+        f"max={dprod:.2e}")
     print(f"dryrun_multichip OK: {n_devices} devices, "
           f"SW sharded-vs-single rel err u={du:.2e} h={dh:.2e}; "
-          f"Euler3D EC step rel err max={de:.2e} ({errs}){tile}")
+          f"Euler3D EC step rel err max={de:.2e} ({errs}){tile}{prod}")
 
 
 if __name__ == "__main__":
