@@ -187,26 +187,36 @@ class Euler3D:
         return self._m1k(u, self.tiq * hphys)
 
     def solve_M1k(self, b, wq=None, x0=None):
-        """CG on the thickness-weighted layer mass, block-PC per element.
+        """Weighted-Schwarz Richardson on the thickness-weighted layer mass.
 
         `wq` overrides the per-level quad weights (leading dim must match b --
-        stacking several gradient/flux systems into ONE batched CG shares the
-        while_loop and its reduction kernels, the dominant launch-latency
-        cost).  `x0` warm-starts (Newton iterates change little between
-        iterations, cutting CG depth severalfold)."""
+        stacking several gradient/flux systems into ONE batched solve shares
+        the loop and its reduction kernels).  `x0` warm-starts (Newton
+        iterates change little between iterations).
+
+        The multiplicity-weighted additive-Schwarz block preconditioner
+        (LocalOps.pc_M1w) puts the preconditioned layer mass at
+        rho(I - P^-1 A) ~ 0.16 even with thickness/rho/theta quadrature
+        weights (measured, UMJS14 stretched levels), so the dot-free
+        fixed-depth Richardson sweep replaces CG (which burned 3 reductions
+        + a cond sync per iteration inside every per-level solve); the
+        residual-checked continuation guards rougher weight fields
+        (solvers.richardson_checked)."""
         ops = self.ops
         tq = self.tiq if wq is None else wq
         def mv(u):
             return self._m1k(u, tq)
+        w1 = ops.wdot1
+        scale = 1.0 / jnp.mean(tq, axis=(1, 2))
         def pc(r):
-            # per-level scaling of the 2D block inverse by 1/mean(thick)
-            scale = 1.0 / jnp.mean(tq, axis=(1, 2))
-            vl = jax.vmap(lambda rk: ops.gather1(rk))(r)
-            out = jnp.einsum('eij,lej->lei', ops.M1blkinv, vl) * scale[:, None, None]
-            return jax.vmap(ops.scatter1)(out)
+            vl = jax.vmap(lambda rk: ops.gather1(w1 * rk))(r)
+            out = jnp.einsum('eij,lej->lei', ops.M1blkinv,
+                             vl) * scale[:, None, None]
+            return jax.vmap(lambda ok: w1 * ops.scatter1(ok))(out)
         dot = lambda a, b_: jnp.vdot(a * ops.wdot1[None, :], b_)
-        return solvers.cg(mv, b, pc=pc, x0=x0, tol=self.mass_tol, maxiter=200,
-                          dot=dot)
+        niter = 8 if self.mass_tol >= 1e-8 else 18
+        return solvers.richardson_checked(mv, b, pc=pc, tol=self.mass_tol,
+                                          niter=niter, dot=dot, x0=x0)
 
     def apply_M2k(self, x):
         """Layer 2-form mass = vertical VB: proj(x_phys)."""

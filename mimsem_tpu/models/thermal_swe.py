@@ -267,18 +267,24 @@ class ThermalSWv1:
         a = self.alpha * self.dt
 
         def A_u(u):
-            return (ops.apply_M1(u) + a * ops.apply_R(self.f0, u)
-                    - a * a * self.GRAV * self.hmean
-                    * ops.e12(ops.apply_M2(ops.e21(u))))
+            # sum-of-locals: the three operator outputs share ONE DSS
+            loc = (ops.apply_M1_local(u) + a * ops.apply_R_local(self.f0, u)
+                   - a * a * self.GRAV * self.hmean
+                   * ops.e12_local(ops.apply_M2(ops.e21(u))))
+            return ops.scatter1(loc)
 
-        def pc(r):
-            return ops.scatter1(jnp.einsum('eij,ej->ei', self.HelmInv,
-                                           ops.gather1(r)))
+        def pc_w(r):
+            # weighted additive Schwarz (see SWEqn._pc_u_w): enables the
+            # dot-free Richardson solve of the constant Helmholtz operator
+            w = ops.wdot1
+            return w * ops.scatter1(jnp.einsum('eij,ej->ei', self.HelmInv,
+                                               ops.gather1(w * r)))
 
         rhs_u = bu - a * self.GRAV * ops.e12(bh)
-        du = solvers.gmres(A_u, rhs_u, pc=pc, tol=self.gmres_tol,
-                           maxiter=self.gmres_maxiter,
-                           restart=self.gmres_restart, weight=ops.wdot1)
+        niter = 8 if self.gmres_tol >= 1e-8 else 20
+        du = solvers.richardson_checked(
+            A_u, rhs_u, pc=pc_w, tol=self.gmres_tol, niter=niter,
+            dot=lambda x, y: jnp.vdot(x * ops.wdot1, y))
         dh = ops.solve_M2(bh) - a * self.hmean * ops.e21(du)
         dsol = ops.solve_M2(bs)
         return du, dh, dsol

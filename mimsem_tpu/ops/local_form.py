@@ -779,10 +779,25 @@ class LocalOps(SpaceOps):
         diag = jnp.broadcast_to(q, (self.nel, q.shape[-1])) @ (self.B0 * self.B0)
         return self.dss0(diag.reshape(-1))
 
+    def pc_M1w(self, r1):
+        """Multiplicity-WEIGHTED additive Schwarz for M1: P^-1 = sum_e
+        R_e^T W_e M1_e^-1 W_e R_e with W_e = diag(1/#copies).  Exact for a
+        block-diagonal operator, and measured rho(I - P^-1 M1) ~ 0.2 on the
+        cubed sphere (vs ~3, divergent, for the unweighted overlap) -- the
+        de-facto standard weighted-Schwarz trick, here enabling dot-free
+        Richardson mass solves."""
+        vl = self.gather1(self.wdot1 * r1)
+        y = jnp.einsum('eij,ej->ei', self.M1blkinv, vl)
+        return self.wdot1 * self.scatter1(y)
+
     def solve_M1(self, b1, tol=1e-14, maxiter=200):
         from . import solvers
-        return solvers.cg(self.apply_M1, b1, pc=self.pc_M1, tol=tol,
-                          maxiter=maxiter, dot=self.dot1)
+        # ~0.2 contraction/sweep: 8 sweeps reach the f32 floor; deeper
+        # fixed depth for f64 tolerances, residual-checked continuation
+        # guards both (solvers.richardson_checked docstring)
+        niter = 8 if tol >= 1e-8 else 18
+        return solvers.richardson_checked(self.apply_M1, b1, pc=self.pc_M1w,
+                                          tol=tol, niter=niter, dot=self.dot1)
 
     # solve_M0h_up inherited: Richardson + residual-checked continuation
     # (SpaceOps.solve_M0h_up); m0_lumped/apply_M0h_up/dot0 overridden here.

@@ -77,6 +77,50 @@ def richardson(mv, b, pc, niter=8, x0=None):
     return x
 
 
+def richardson_checked(mv, b, pc, tol=1e-6, niter=8, max_extra=None,
+                       dot=None, x0=None):
+    """Fixed-depth Richardson + residual-checked continuation.
+
+    The TPU-native replacement for short preconditioned Krylov solves when
+    the preconditioned operator is strongly contracting (measured here:
+    multiplicity-WEIGHTED additive-Schwarz block preconditioners put both
+    the SEM mass matrices and the semi-implicit SW Helmholtz operator at
+    rho(I - P^-1 A) ~ 0.2, i.e. ~7 sweeps to f32 floor).  Unlike CG/GMRES,
+    a sweep has NO reductions and NO small-array updates -- it compiles to
+    matvec + pc + axpy, which matters on a launch-bound workload
+    (ROOFLINE.md).  The continuation loop (same pattern as
+    SpaceOps.solve_M0h_up) guards configurations that contract slower: one
+    extra matvec+dot in the common case, up to `max_extra` checked sweeps
+    otherwise.  Both operators this is used for are CONSTANT through a run
+    (assembled from f0/hmean/dt at build), so a contraction rate observed
+    at step 1 persists."""
+    if dot is None:
+        dot = jnp.vdot
+    if max_extra is None:
+        max_extra = 3 * niter
+    bscale = jnp.sqrt(dot(b, b))
+    binv = jnp.where(bscale > 0, 1.0 / jnp.where(bscale == 0, 1.0, bscale), 0.0)
+    bn = b * binv
+    # warm starts (Newton iterates) usually need 1-2 corrective sweeps: do a
+    # shallow fixed block and let the checked continuation supply the rest
+    x = richardson(mv, bn, pc, niter=2 if x0 is not None else niter,
+                   x0=None if x0 is None else x0 * binv)
+    tol2 = tol * tol * jnp.maximum(dot(bn, bn), 1e-300)
+    r = bn - mv(x)
+
+    def cond(state):
+        x, r, k = state
+        return jnp.logical_and(k < max_extra, dot(r, r) > tol2)
+
+    def body(state):
+        x, r, k = state
+        x = (x + pc(r)).astype(bn.dtype)
+        return (x, bn - mv(x), k + 1)
+
+    x, _, _ = lax.while_loop(cond, body, (x, r, 0))
+    return x * bscale
+
+
 def gmres(mv, b, pc=None, x0=None, tol=1e-14, maxiter=3, restart=30,
           weight=None):
     """Right-preconditioned GMRES(restart) with `maxiter` restart cycles.
