@@ -51,8 +51,15 @@ def main():
 
     from mimsem_tpu.testcases import held_suarez
     t0 = time.time()
+    # Vertical-Newton knobs (same pattern as demo/run_umjs14.py): the
+    # 2026-08-19 production run went NaN at step 3792 (day 5.3) via a
+    # negative-density collapse in a top-layer column under chord nit=4;
+    # the convergence knob is the remedy, as at UMJS14's wave-breaking.
+    nit = int(os.environ.get("HS_NEWTON_ITERS", "4"))
+    vnm = os.environ.get("HS_VERT_NEWTON", "chord")
     eul, state = held_suarez.build(ne=ne, p=3, nk=nk, dt=dt,
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32,
+                                   newton_iters=nit, vert_newton=vnm)
     if integ == "ec":
         state = eul.init_state_ec(*state[:5])
     else:

@@ -145,9 +145,13 @@ class Euler3D:
         self.tiq = 1.0 / vo.thickq
         if do_visc or do_temp_visc:
             # biharmonic coefficient del^2 = -sqrt(0.072 dx^3.2) (Guba et al.
-            # 2014; eul/HorizSolve.cpp:112-119)
+            # 2014; eul/HorizSolve.cpp:112-119).  dx is the reference's
+            # sqrt(area / nDofs0G) with nDofs0G = nel p^2 global 0-forms --
+            # i.e. element size / p, NOT /(p+1): the earlier /(p+1) made
+            # del2 ~1.6x weaker than the reference at p=3, and the 2026-08-19
+            # Held-Suarez run rang a 2dz top-interface mode into a NaN.
             area = float(np.sum(np.asarray(ops.det) * np.asarray(ops.W)[None, :]))
-            dx = np.sqrt(area / ops.nel) / (ops.p + 1)
+            dx = np.sqrt(area / (ops.nel * ops.p ** 2))
             # python float, not np.float64: a non-weak f64 scalar would
             # promote the whole viscosity path under x64
             self.del2 = -float(np.sqrt(0.072 * dx ** 3.2))

@@ -47,8 +47,8 @@ def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 120.0,
         * np.ones((1, ops.nel, basis.nq))
     vo = VerticalOps(ops, levs)
     coriolis = lambda lon, lat: 2.0 * OMEGA * jnp.sin(lat)
-    eul = Euler3D(ops, vo, dt=dt, coriolis=coriolis, do_visc=True,
-                  hs_forcing=True, **kw)
+    kw.setdefault('hs_forcing', True)
+    eul = Euler3D(ops, vo, dt=dt, coriolis=coriolis, do_visc=True, **kw)
 
     A = RAD_SPHERE
 
