@@ -71,7 +71,8 @@ class Euler3D:
                  newton_iters: int = 4, hs_forcing: bool = False,
                  f64_resid: bool = None, theta_upwind: bool = True,
                  vert_newton: str = "chord", do_temp_visc: bool = False,
-                 corr_centering: str = "j", rayleigh_levels: int = 3):
+                 corr_centering: str = "j", rayleigh_levels: int = 3,
+                 newton_max_iters: int = None, newton_tol: float = 1e-3):
         self.ops = ops
         self.vo = vo
         # 'chord' (default) assembles the vertical-solve linearization once
@@ -132,6 +133,24 @@ class Euler3D:
                 prof[-i] = 0.5 ** (i - 1)
             self.ray_prof = jnp.asarray(prof, ops.dtype)
         self.newton_iters = newton_iters
+        # Auto-escalating vertical Newton (VERDICT r4 #5): both vertical
+        # solvers always run `newton_iters` iterations, then keep iterating
+        # -- up to `newton_max_iters` (default 4x base) -- while the relative
+        # d_pi / d_rho increment max-norms exceed `newton_tol`.  These are
+        # the reference's own convergence monitors (max|dPi|/|Pi| and
+        # |drho|/|rho| iterated to 1e-12, eul/VertSolve.cpp:1915-1928); the
+        # loose default tolerance makes escalation a COLLAPSE GUARD, not a
+        # tight-convergence contract: quiet steps (norms ~1e-5) pay only the
+        # while_loop condition, while frontal-collapse steps (the UMJS14
+        # day-11.7 |d|~1e-2 blowup that previously needed a manual
+        # UMJS14_NEWTON_ITERS=8 override) automatically get the extra
+        # iterations that cross them.  d_w/d_eta norms are reported in aux
+        # but excluded from the condition: their normalizers (max|w|,
+        # log theta) are near-degenerate on quiet spin-up states and would
+        # escalate every step of a from-rest run.
+        self.newton_max_iters = (4 * newton_iters if newton_max_iters is None
+                                 else newton_max_iters)
+        self.newton_tol = newton_tol
         self.hs_forcing = hs_forcing
         # upwinded vertical basis in the theta diagnosis with tau = 0.25 dt
         # (the reference's active diagTheta2 path, box/VertSolve.cpp:580-585)
@@ -672,6 +691,31 @@ class Euler3D:
         Cs, dinvs = self._tridiag_factor(lo, di, up)
         return self._tridiag_apply(lo, Cs, dinvs, b)
 
+    def _newton_while(self, body, state0, base, max_iters, pick):
+        """Run `body(state) -> (state, outs)` at least `base` times, then
+        keep iterating while `pick(outs) > self.newton_tol`, up to
+        `max_iters` total -- checked extra iterations, the same pattern as
+        solvers.richardson_checked, approximating the reference's
+        iterate-to-tolerance vertical Newton (eul/VertSolve.cpp:1915-1928)
+        under jit.  NaN norms stop the loop at `base` (NaN > tol is False),
+        so a diverged state cannot spin to max_iters."""
+        outs_sd = jax.eval_shape(body, state0)[1]
+        init = jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, jnp.inf, s.dtype), outs_sd)
+        tol = self.newton_tol
+
+        def cond(c):
+            it, _, outs = c
+            return (it < base) | ((it < max_iters) & (pick(outs) > tol))
+
+        def bodyf(c):
+            it, st, _ = c
+            st, outs = body(st)
+            return (it + 1, st, outs)
+
+        return jax.lax.while_loop(
+            cond, bodyf, (jnp.zeros((), jnp.int32), state0, init))
+
     def vert_solve(self, w_i, rho_i, rt_i, pi_i, dFx_fn, uuz=None,
                    rt_forcing_fn=None):
         """Newton iterations of the vertical implicit solve (solve_schur_2,
@@ -801,11 +845,22 @@ class Euler3D:
                          F_rho + dtf * vo.apply_w(chiVB, vo.v10(rw)))
 
             d = self.ops.dtype
-            return ((w_j + d_w).astype(d), (rho_j + d_rho).astype(d),
-                    (rt_j + d_rt).astype(d), (pi_j + d_pi).astype(d)), None
+            w_n = (w_j + d_w).astype(d)
+            rho_n = (rho_j + d_rho).astype(d)
+            rt_n = (rt_j + d_rt).astype(d)
+            pi_n = (pi_j + d_pi).astype(d)
+            # the reference's convergence monitors (max|dPi|/|Pi|,
+            # |drho|/|rho|; eul/VertSolve.cpp:1923) drive escalation
+            mx = lambda a, b: jnp.max(jnp.abs(a) / jnp.maximum(
+                jnp.max(jnp.abs(b)), 1e-30))
+            norms = jnp.stack([mx(d_pi, pi_n), mx(d_rho, rho_n)])
+            return (w_n, rho_n, rt_n, pi_n), norms
 
         state = (w_i, rho_i, rt_i, pi_i)
-        state, _ = jax.lax.scan(newton, state, None, length=self.newton_iters)
+        max_iters = max(self.newton_max_iters, self.newton_iters)
+        _, state, _ = self._newton_while(
+            lambda st: newton(st, None), state, self.newton_iters,
+            max_iters, jnp.max)
         return state
 
     # ================================================================ entropy-variable vertical solve
@@ -1055,11 +1110,15 @@ class Euler3D:
 
         zf = jnp.zeros((nk, self.ops.ln1), self.ops.dtype)
         state = (w_i, rho_i, rt_i, pi_i, (zf, zf, zf))
-        state, (norms, k2i_z) = jax.lax.scan(newton, state, None,
-                                             length=newton_iters)
+        max_iters = max(self.newton_max_iters, newton_iters)
+        # escalate on the d_pi / d_rho monitors only (norms stack order:
+        # [d_pi, d_w, d_rho, d_eta]; see the constructor comment)
+        nit, state, (norms, k2i_z) = self._newton_while(
+            lambda st: newton(st, None), state, newton_iters, max_iters,
+            lambda outs: jnp.maximum(outs[0][0], outs[0][2]))
         w_j, rho_j, rt_j, pi_j, _ = state
         theta_l2_h = 0.5 * (theta_l2_i + vo.diag_theta_l2(rho_j, rt_j))
-        aux = dict(newton_norms=norms[-1], k2i_z=k2i_z[-1])
+        aux = dict(newton_norms=norms, k2i_z=k2i_z, newton_iters_run=nit)
         return w_j, rho_j, rt_j, pi_j, theta_l2_h, aux
 
     # ================================================================ Held-Suarez forcing
@@ -1395,6 +1454,19 @@ class Euler3D:
         return dict(keh=keh, kev=kev, pe=pe, ie=ie, k2p=k2p, p2k=p2k,
                     k2i=k2i, i2k=0.0, k2i_z=k2i_z, i2k_z=0.0,
                     mass=mass, entr=entr)
+
+    def mass_total(self, rho):
+        """Global mass integral (the energetics `mass` column,
+        eul/Euler_2.cpp:600-744).  Exactly conserved per HEVI step to
+        roundoff regardless of Newton convergence -- the rho update is a
+        discrete flux divergence, so <1, d_rho>_V telescopes to zero --
+        which makes it a cheap single-build correctness oracle for the
+        sharded production step (parallel/dryrun.py stage 4): any broken
+        DSS scatter or psum in the horizontal flux path destroys it."""
+        vo = self.vo
+        if jax.config.jax_enable_x64:
+            rho = rho.astype(jnp.float64)
+        return jnp.sum(vo.interp(rho) * vo.Wq)
 
     # ================================================================ energetics
     def energetics(self, velx, w, rho, rt, exner):

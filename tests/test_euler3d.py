@@ -78,6 +78,34 @@ def test_ec_newton_convergence_jitted(umjs_ec):
     assert norms[2] < 1e-8, f"drho norm {norms[2]:.2e}"
 
 
+def test_newton_auto_escalation(umjs_ec):
+    """The checked-extra-iterations vertical Newton (the richardson_checked
+    pattern applied to the reference's iterate-to-1e-12 contract,
+    eul/VertSolve.cpp:1915-1928): a tight tolerance forces extra iterations
+    beyond the base count, a loose tolerance stops at the base count, and
+    the escalated result is at least as converged.  This is the mechanism
+    that crosses the UMJS14 day-11.7 frontal collapse at default settings
+    (the round-4 run needed a manual UMJS14_NEWTON_ITERS=8 override)."""
+    from mimsem_tpu.testcases import umjs14
+    eul, state, aux, e0, e1 = umjs_ec
+    # base-only: quiet state converges below the loose default tol
+    assert int(aux["newton_iters_run"]) == eul.newton_iters
+
+    eul2, st2 = umjs14.build(ne=3, p=3, nk=6, dt=60.0, dtype=jnp.float64,
+                             do_visc=False, newton_iters=2,
+                             newton_max_iters=10, newton_tol=1e-13)
+    _, aux2 = eul2.step_ec(st2, first=True)
+    it2 = int(aux2["newton_iters_run"])
+    assert 2 < it2 <= 10, f"expected escalation beyond base 2, ran {it2}"
+    # same config, escalation disabled at base 2: less converged
+    eul3, st3 = umjs14.build(ne=3, p=3, nk=6, dt=60.0, dtype=jnp.float64,
+                             do_visc=False, newton_iters=2,
+                             newton_max_iters=2)
+    _, aux3 = eul3.step_ec(st3, first=True)
+    n2, n3 = np.asarray(aux2["newton_norms"]), np.asarray(aux3["newton_norms"])
+    assert max(n2[0], n2[2]) <= max(n3[0], n3[2])
+
+
 def test_ec_mass_exact(umjs_ec):
     eul, state, aux, e0, e1 = umjs_ec
     assert abs(float((e1["mass"] - e0["mass"]) / e0["mass"])) < 1e-12
