@@ -3,6 +3,8 @@ import pytest
 
 from mimsem_tpu.basis import gll, lagrange_eval, lagrange_deriv, edge_eval, make_basis
 
+pytestmark = pytest.mark.smoke        # pure-numpy exactness checks, seconds
+
 
 @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7])
 def test_gll_weights_sum(n):

@@ -10,6 +10,7 @@ from mimsem_tpu.mesh.geometry import build_geometry
 from mimsem_tpu.ops.forms import SpaceOps
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("ne,p", [(2, 3), (3, 2), (2, 1)])
 def test_cubed_sphere_dof_counts(ne, p):
     """Global counts must match the reference closed forms (src/Topo.cpp:112-114):
@@ -22,6 +23,7 @@ def test_cubed_sphere_dof_counts(ne, p):
     assert topo.n2 == 6 * N * N
 
 
+@pytest.mark.smoke
 def test_box_dof_counts():
     mesh = periodic_box_mesh(3)
     p = 2
@@ -34,6 +36,7 @@ def test_box_dof_counts():
 
 @pytest.mark.parametrize("mesh_fn", [lambda: cubed_sphere_mesh(2),
                                      lambda: periodic_box_mesh(3)])
+@pytest.mark.smoke
 def test_incidence_exactness(mesh_fn):
     """E21 . E10 == 0 identically (discrete div curl = 0), the core mimetic
     property; and E10/E21 consistency of owner-based rows."""

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from mimsem_tpu.utils import diagnostics as dg
 
 
+@pytest.mark.smoke
 def test_advection_mass_conservation():
     from mimsem_tpu.testcases import solid_body
     adv, u, h = solid_body.build(ne=2, p=3)

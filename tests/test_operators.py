@@ -43,6 +43,7 @@ def test_projection_0form_accuracy():
     assert float(n[1]) < 1e-4
 
 
+@pytest.mark.smoke
 def test_projection_2form_accuracy():
     """2-form coefficients absorb det(J), so even constants converge at O(h^p)
     on the curved sphere (same property as the reference's W2 space); check
@@ -88,6 +89,7 @@ def test_weak_curl_vorticity():
     assert float(n[1]) < 2e-2
 
 
+@pytest.mark.smoke
 def test_weak_divergence_small():
     ops = setup(3, 3)
     u1 = ops.proj1(u_f, v_f, tol=1e-13)
