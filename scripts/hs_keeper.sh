@@ -38,7 +38,7 @@ print(int(np.load('$ck')['__step']))" 2>/dev/null || echo 0)
         sleep 60
         now=$(date +%s)
         mt=$(stat -c %Y "$log" 2>/dev/null || echo "$now")
-        if [ $((now - mt)) -gt 600 ]; then
+        if [ $((now - mt)) -gt 1800 ]; then
             echo "== $(date +%H:%M:%S) hs_keeper: driver stale; killing $PID"
             kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
         fi
