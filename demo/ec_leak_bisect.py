@@ -52,7 +52,8 @@ def patch_vplain(eul):
         # the caller assembles rt_j - rt_i + 0.5*dt*V10(Gz) + f_corr, so
         # f_corr = 0.5*dt*VB(V10 Gz) completes the plain full-dt flux.
         f_corr = 0.5 * dt * vo.apply_w(vo.chi_VB(), vo.v10(Gz))
-        return fw, Fz, Gz, f_corr, k2i_z
+        # ray_p slot (unmeasured in this energy-inconsistent bisect variant)
+        return fw, Fz, Gz, f_corr, k2i_z, jnp.zeros((), fw.dtype)
 
     eul.vert_residual_ec = vert_residual_ec
 
@@ -95,7 +96,9 @@ def patch_hplain(eul):
         t1 = eul._m1k_local(dPi, eul.thickq * thp)
         loc = loc + t1
         Ff = F.reshape(eul.nk, ops.nel, -1)
-        k2i_parts = jnp.stack([_dot_hp(Ff, t1), jnp.zeros(()), jnp.zeros(())])
+        # 4th slot = visc_p (unmeasured in this bisect variant)
+        k2i_parts = jnp.stack([_dot_hp(Ff, t1), jnp.zeros(()), jnp.zeros(()),
+                               jnp.zeros(())])
         uzb = 0.5 * (uz1 + uz2)
         dwb = 0.5 * (dwdx1 + dwdx2)
         vec = jax.vmap(ops.interp1_phys)(uzb - dwb)

@@ -619,8 +619,18 @@ class Euler3D:
 
         if self.do_visc:
             lap = self.laplacian_k(self.laplacian_k(u_h))
-            loc = loc + self._m1k_local(lap, self.tiq)
-        return self.scatter1k(loc), k2i_parts
+            visc_loc = self._m1k_local(lap, self.tiq)
+            loc = loc + visc_loc
+            # biharmonic KE dissipation power, same <F, forcing-local>
+            # convention as the pressure powers above: positive = KE sink.
+            # This is the first measured channel of the production energy
+            # budget (eul/Euler_2.cpp:600-744 tracks only the exchange
+            # powers; the dissipation channels close dE_tot).
+            visc_p = _dot_hp(Ff, visc_loc)
+        else:
+            visc_p = jnp.zeros((), loc.dtype)
+        return self.scatter1k(loc), jnp.concatenate(
+            [k2i_parts, visc_p[None]])
 
     # ================================================================ vertical implicit
     def vert_residual_w(self, theta, pi, w1, w2, rho1, rho2, VAinv, uuz1, uuz2):
@@ -894,15 +904,21 @@ class Euler3D:
         fw = fw - 0.5 * dt * vo.vab_w(gradth, pi_h)
 
         if self.rayleigh:
-            fw = fw + 0.5 * dt * self.rayleigh * vo.apply_w(
+            ray_term = 0.5 * self.rayleigh * vo.apply_w(
                 vo.chi_VA() * self.ray_prof, w1 + w2)
+            fw = fw + dt * ray_term
+            # sponge KE sink power, same <F_z, forcing> convention as k2i_z
+            # (positive = KE leaves the resolved budget)
+            ray_p = _dot_hp(Fz, ray_term)
+        else:
+            ray_p = jnp.zeros((), fw.dtype)
         if uuz is not None:
             fw = fw + dt * uuz
 
         f_theta_corr = 0.5 * dt * (
             vo.apply_w(vo.chi_VB_rho(theta_l2), vo.v10(Fz))
             + vo.vba_w(gradth, Fz))
-        return fw, Fz, Gz, f_theta_corr, k2i_z
+        return fw, Fz, Gz, f_theta_corr, k2i_z, ray_p
 
     def vert_solve_eta(self, w_i, rho_i, rt_i, pi_i, theta_l2_i, dFx_fn,
                        uuz=None, rt_forcing_fn=None, newton_iters=None):
@@ -1033,7 +1049,7 @@ class Euler3D:
             dFx, dGx, ws = dFx_fn(rho_j, theta_l2_h, ws)
 
             # ---- residuals (exact, at the half state) ----
-            F_w, Fz, Gz, f_corr, k2i_z = self.vert_residual_ec(
+            F_w, Fz, Gz, f_corr, k2i_z, ray_p = self.vert_residual_ec(
                 theta_l2_h, pi_h, w_i, w_j, rho_i, rho_j, VAinv, uuz)
             F_pi = vo.eos_residual(rt_j, pi_j)
             F_rho = vo.apply_w(chiVB, rho_j - rho_i + dt * vo.v10(Fz)) + dt * dFx
@@ -1106,19 +1122,20 @@ class Euler3D:
             norms = jnp.stack([mx(d_pi, pi_n), mx(d_w, w_n),
                                mx(d_rho, rho_n),
                                mx(vo.phys_layer(d_eta), log_th)])
-            return (w_n, rho_n, rt_n, pi_n, ws), (norms, k2i_z)
+            return (w_n, rho_n, rt_n, pi_n, ws), (norms, k2i_z, ray_p)
 
         zf = jnp.zeros((nk, self.ops.ln1), self.ops.dtype)
         state = (w_i, rho_i, rt_i, pi_i, (zf, zf, zf))
         max_iters = max(self.newton_max_iters, newton_iters)
         # escalate on the d_pi / d_rho monitors only (norms stack order:
         # [d_pi, d_w, d_rho, d_eta]; see the constructor comment)
-        nit, state, (norms, k2i_z) = self._newton_while(
+        nit, state, (norms, k2i_z, ray_p) = self._newton_while(
             lambda st: newton(st, None), state, newton_iters, max_iters,
             lambda outs: jnp.maximum(outs[0][0], outs[0][2]))
         w_j, rho_j, rt_j, pi_j, _ = state
         theta_l2_h = 0.5 * (theta_l2_i + vo.diag_theta_l2(rho_j, rt_j))
-        aux = dict(newton_norms=norms, k2i_z=k2i_z, newton_iters_run=nit)
+        aux = dict(newton_norms=norms, k2i_z=k2i_z, ray_p=ray_p,
+                   newton_iters_run=nit)
         return w_j, rho_j, rt_j, pi_j, theta_l2_h, aux
 
     # ================================================================ Held-Suarez forcing
@@ -1380,7 +1397,8 @@ class Euler3D:
         state = (velx_2.astype(d), w_j.astype(d), rho_j.astype(d),
                  rt_j.astype(d), pi_j.astype(d), velx.astype(d),
                  uz_new.astype(d))
-        aux = dict(aux, k2i=jnp.sum(k2i_parts), k2i_parts=k2i_parts)
+        aux = dict(aux, k2i=jnp.sum(k2i_parts[:3]), k2i_parts=k2i_parts[:3],
+                   visc_p=k2i_parts[3])
         return state, aux
 
     def init_state_ec(self, velx, w, rho, rt, exner):
@@ -1389,7 +1407,10 @@ class Euler3D:
 
     def step_ec(self, state, first=False):
         """state = (velx, w, rho, rt, exner, velx_prev, uz_prev);
-        returns (state, aux) with aux = exchange powers + Newton norms."""
+        returns (state, aux) with aux = exchange powers (k2i, k2i_z),
+        measured dissipation powers (visc_p, ray_p: the KE sinks that
+        close the TOTAL energy budget, dE_tot ~= -dt*(visc_p + ray_p)),
+        and Newton norms."""
         if not hasattr(self, '_step_ec'):
             self._step_ec = jax.jit(self._step_ec_impl)
         return self._step_ec(*state, jnp.asarray(first))
@@ -1404,11 +1425,18 @@ class Euler3D:
         diagnostic) and the LAST step's Newton norms."""
         def body(st, _):
             st, aux = self._step_ec_impl(*st, jnp.asarray(False))
-            return st, (aux["k2i"], aux["k2i_z"], aux["newton_norms"])
-        state, (k2i, k2iz, norms) = jax.lax.scan(body, state, None,
-                                                 length=nsteps)
+            return st, (aux["k2i"], aux["k2i_z"], aux["visc_p"],
+                        aux["ray_p"], aux["newton_norms"])
+        state, (k2i, k2iz, visc, ray, norms) = jax.lax.scan(
+            body, state, None, length=nsteps)
+        # diss_int is the dt-integrated KE LOSS to the measured dissipation
+        # channels over the chunk; with exch_int it closes the total-energy
+        # budget: dE_tot ~= -diss_int + O(dt^2) time-truncation (the
+        # exchange powers cancel between KE and IE by construction).
         return state, dict(exch_int=self.dt * jnp.sum(k2i + k2iz),
+                           diss_int=self.dt * jnp.sum(visc + ray),
                            k2i_mean=jnp.mean(k2i), k2i_z_mean=jnp.mean(k2iz),
+                           visc_p_mean=jnp.mean(visc), ray_p_mean=jnp.mean(ray),
                            newton_norms=norms[-1])
 
     # ================================================================ 12-term energetics

@@ -209,6 +209,42 @@ def test_ec_budget_closure_f64():
         e_prev = e
 
 
+def test_ec_dissipation_channels_close_total_energy():
+    """The measured dissipation channels (biharmonic KE sink `visc_p`,
+    Rayleigh sponge sink `ray_p`) close the TOTAL energy budget:
+    dE_tot = -dt*(visc_p + ray_p) + O(dt^2) truncation.  The exchange
+    powers k2i/k2i_z cancel between KE and IE by construction, so without
+    these channels dE_tot is an unexplained drift (the round-4 production
+    budget's 0.72 'closure_worst' shrug); with them it is a measured
+    residual.  Reference budget: eul/Euler_2.cpp:600-744 (which tracks
+    only the exchange powers -- the dissipation accounting is new here).
+
+    Measured on the ne=3/nk=6 balanced sphere: the two channels explain
+    ~94% of dE_tot, and the ~6% residual fraction is dt-INDEPENDENT
+    (0.05-0.10 at dt=30/15/7.5), i.e. it is un-itemized cross-term work
+    (the KEh<->KEv shear pairings' imperfect discrete antisymmetry), not
+    time truncation.  The assertion pins both facts: the channels dominate
+    (residual < 15% of diss) and the sink signs are physical."""
+    from mimsem_tpu.testcases import umjs14
+    eul, st5 = umjs14.build(ne=3, p=3, nk=6, dt=30.0, dtype=jnp.float64,
+                            newton_iters=4)
+    assert eul.do_visc and eul.rayleigh > 0.0
+    st = eul.init_state_ec(*st5[:5])
+    e_prev = None
+    for i in range(3):
+        st, aux = eul.step_ec(st, first=(i == 0))
+        e = {k: float(v) for k, v in eul.energetics_ec(*st[:5]).items()}
+        if e_prev is not None:
+            detot = sum(e[k] - e_prev[k] for k in ("keh", "kev", "pe", "ie"))
+            diss = eul.dt * float(aux["visc_p"] + aux["ray_p"])
+            assert float(aux["visc_p"]) > 0.0, "biharmonic must sink KE"
+            assert float(aux["ray_p"]) > 0.0, "sponge must sink KE"
+            # unexplained residual small vs the explained dissipation
+            assert abs(detot + diss) < 0.15 * abs(diss), \
+                (i, detot, diss, float(aux["visc_p"]), float(aux["ray_p"]))
+        e_prev = e
+
+
 def test_terrain_hydrostatic_balance():
     """A balanced isentropic atmosphere over a RESOLVED cosine hill stays
     balanced through full HEVI steps: w excited only at truncation level and
