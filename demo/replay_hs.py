@@ -52,14 +52,20 @@ def main():
 
     from mimsem_tpu.testcases import held_suarez
     t0 = time.time()
-    eul, _ = held_suarez.build(ne=6, p=3, nk=16, dt=dt, dtype=dtype, **kw)
+    eul, st0 = held_suarez.build(ne=6, p=3, nk=16, dt=dt, dtype=dtype, **kw)
     print(f"build {time.time()-t0:.1f}s variant={variant} "
           f"dtype={dtype.__name__} kw={kw}", flush=True)
 
     skeys = ("velx", "w", "rho", "rt", "exner", "velx_prev")
-    cstep, f = mio.load_checkpoint(ckpt)
-    state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
-    print(f"replaying from step {cstep}", flush=True)
+    if ckpt == "none":
+        # from-IC stability probe (e.g. is do_temp_visc CFL-stable on a
+        # HEALTHY state, vs. replaying into an already-collapsing front)
+        cstep, state = 0, tuple(jnp.asarray(x, eul.ops.dtype) for x in st0)
+        print("running from the initial condition", flush=True)
+    else:
+        cstep, f = mio.load_checkpoint(ckpt)
+        state = tuple(jnp.asarray(f[k], eul.ops.dtype) for k in skeys)
+        print(f"replaying from step {cstep}", flush=True)
 
     vo = eul.vo
 

@@ -57,8 +57,16 @@ def main():
     # the convergence knob is the remedy, as at UMJS14's wave-breaking.
     nit = int(os.environ.get("HS_NEWTON_ITERS", "4"))
     vnm = os.environ.get("HS_VERT_NEWTON", "chord")
+    # biharmonic theta dissipation ON by default: the 2026-08-20 re-run
+    # reached day 20.4 and then collapsed via an inviscid-theta surface
+    # front (replay-verified insensitive to dt / f64 / Newton depth -- the
+    # runaway is resolved dynamics at ne=6, not discretization).  The
+    # reference ships do_temp_visc for exactly this (HorizSolve::advection_rhs,
+    # eul/HorizSolve.cpp:341-360); spectral radius measured CFL-stable
+    # (dt*lam ~ 0.09) after the density-pairing fix.
+    tv = os.environ.get("HS_TEMP_VISC", "1") == "1"
     eul, state = held_suarez.build(ne=ne, p=3, nk=nk, dt=dt,
-                                   dtype=jnp.float32,
+                                   dtype=jnp.float32, do_temp_visc=tv,
                                    newton_iters=nit, vert_newton=vnm)
     if integ == "ec":
         state = eul.init_state_ec(*state[:5])

@@ -160,15 +160,18 @@ def main():
                     nsteps - step)
         t0 = time.time()
         done = 0
-        k2i_acc = k2iz_acc = 0.0
+        k2i_acc = k2iz_acc = visc_acc = ray_acc = diss_int = 0.0
         while done < chunk:
             sub = min(chunk - done, max_chunk)
             state, aux = run_ec(state, sub)
             exch_int = exch_int + aux["exch_int"]
+            diss_int = diss_int + float(aux["diss_int"])
             # step-weighted accumulation so the dump's k2i/k2i_z columns are
             # the mean over the WHOLE dump interval, not the last sub-chunk
             k2i_acc = k2i_acc + float(aux["k2i_mean"]) * sub
             k2iz_acc = k2iz_acc + float(aux["k2i_z_mean"]) * sub
+            visc_acc = visc_acc + float(aux["visc_p_mean"]) * sub
+            ray_acc = ray_acc + float(aux["ray_p_mean"]) * sub
             done += sub
             # sync + progress line per sub-chunk (~1 per 100 s of compute):
             # localizes tunnel/worker crashes to a step range and costs one
@@ -225,6 +228,13 @@ def main():
             with open(os.path.join(outdir, "energetics.dat"), "a") as f:
                 cols = [step * dt / 86400.0] + [e[k] for k in hdr]
                 f.write("\t".join(f"{c:.16e}" for c in cols) + "\n")
+            # measured dissipation channels (mean powers + dt-integral over
+            # the dump interval): with exch_int these close dE_tot -- see
+            # Euler3D.run_steps_ec and demo/closure_umjs14.py
+            with open(os.path.join(outdir, "dissipation.dat"), "a") as f:
+                f.write("\t".join(f"{c:.16e}" for c in (
+                    step * dt / 86400.0, visc_acc / chunk, ray_acc / chunk,
+                    diss_int)) + "\n")
             exch = float(exch_int)              # one sync per dump interval
             if ie_prev is not None:
                 die = e["ie"] - ie_prev

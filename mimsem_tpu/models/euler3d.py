@@ -342,8 +342,30 @@ class Euler3D:
         # flux-form F: e21(F) = div(thick rho u) exactly; density-test
         # volume pairing -> chi = chi_VB = 1/(det thick)
         chi_div = vo.chi_VB()
-        return (vo.apply_w(chi_div, self.e21k(F)),
-                vo.apply_w(chi_div, self.e21k(G)), F)
+        dG = vo.apply_w(chi_div, self.e21k(G))
+        if self.do_temp_visc:
+            # biharmonic temperature dissipation del2^2 grad(div(rho grad
+            # thetabar)) added to the Theta flux -- the reference implements
+            # this in the PLAIN advection path (HorizSolve::advection_rhs
+            # do_temp_visc branch, eul/HorizSolve.cpp:341-360), which is the
+            # path Held-Suarez runs; the EC mirror lives in
+            # _advection_rhs_ec_ws.  thetabar is the layer mean of the
+            # interface theta (theta->vh[kk]+vh[kk+1])/2; its weak-gradient
+            # rhs needs only physical values: B2^T[W thetabar] = vo.proj.
+            tbar = 0.5 * (tp[:-1] + tp[1:])
+            dTh = self.solve_M1k(self.e12k(vo.proj(tbar)), wq=self.tiq)
+            r_mid = 0.5 * (r1p + r2p)
+            rdT = self.solve_M1k(self.scatter1k(
+                self._m1k_local(dTh, self.tiq * r_mid)))
+            # e21k(rdT) = div(thick rho grad theta) is layer-INTEGRATED, so
+            # its scalar continuation is the DENSITY pairing (chi carries
+            # 1/thick): the area pairing leaves a net x-thick (~2000)
+            # amplification that makes the operator explicit-unstable
+            # (measured spectral radius dt*lam 194 vs 0.09; HS ne=6 NaN'd
+            # in one step from a smooth IC)
+            d3 = self.solve_M1k(self._gradpair_density(self.e21k(rdT)))
+            dG = dG + (self.del2 ** 2) * vo.apply_w(chi_div, self.e21k(d3))
+        return vo.apply_w(chi_div, self.e21k(F)), dG, F
 
     # ---------------------------------------------------------------- Phi / momentum
     def diagnose_Phi(self, u1, u2, w1, w2):
@@ -548,7 +570,9 @@ class Euler3D:
             r_mid = 0.5 * (r1p + r2p)
             rdT = self.solve_M1k(self.scatter1k(
                 self._m1k_local(dTh, self.tiq * r_mid)))
-            d3 = self.solve_M1k(self._gradpair_area(self.e21k(rdT)))
+            # density pairing for the layer-integrated divergence -- the
+            # area pairing is a x-thick amplification (see advection_rhs)
+            d3 = self.solve_M1k(self._gradpair_density(self.e21k(rdT)))
             dG = dG + (self.del2 ** 2) * vo.apply_w(chi_div, self.e21k(d3))
         return dF, dG, F, (F, dTh, G)
 

@@ -245,6 +245,48 @@ def test_ec_dissipation_channels_close_total_energy():
         e_prev = e
 
 
+def test_temp_visc_spectral_radius_stable():
+    """The biharmonic theta dissipation (do_temp_visc, the reference's
+    stabilization for under-resolved theta fronts, eul/HorizSolve.cpp:341-360)
+    must be EXPLICIT-STABLE: dt * spectral_radius(L_tv) << 1 on the
+    production-like configuration.  Regression for the volume/area pairing
+    bug: continuing the layer-integrated divergence with the AREA pairing
+    instead of the DENSITY pairing leaves a net x-thickness (~2000)
+    amplification (measured dt*lambda 194 vs 0.09 at HS ne=6/dt=120) that
+    NaN'd Held-Suarez in ONE STEP from a smooth initial condition."""
+    from mimsem_tpu.testcases import held_suarez
+    from mimsem_tpu.models.vertical import inv_small
+    eul, st = held_suarez.build(ne=3, p=3, nk=6, dt=120.0,
+                                do_temp_visc=True, dtype=jnp.float64)
+    vo = eul.vo
+    rho = st[2]
+    r1p = vo.phys_layer(rho)
+    VBinv = inv_small(vo.wblk(vo.chi_VB()))
+
+    def L(th_phys):
+        dTh = eul.solve_M1k(eul.e12k(vo.proj(th_phys)), wq=eul.tiq)
+        rdT = eul.solve_M1k(eul.scatter1k(
+            eul._m1k_local(dTh, eul.tiq * r1p)))
+        d3 = eul.solve_M1k(eul._gradpair_density(eul.e21k(rdT)))
+        term = (eul.del2 ** 2) * vo.apply_w(vo.chi_VB(), eul.e21k(d3))
+        drt = -jnp.einsum('lnij,lnj->lni', VBinv, term)
+        return vo.phys_layer(drt) / jnp.maximum(r1p, 1e-12)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), r1p.shape, r1p.dtype)
+    lam = 0.0
+    for _ in range(6):
+        y = L(x)
+        lam = float(jnp.abs(y).max() / jnp.abs(x).max())
+        x = y / jnp.abs(y).max()
+    assert lam * 120.0 < 1.0, f"tv operator explicit-unstable: dt*lam={lam*120:.2f}"
+
+    # and one actual step with tv on stays finite and near-unchanged
+    state = tuple(jnp.asarray(v, eul.ops.dtype) for v in st)
+    s1 = eul._step_impl(*state, jnp.asarray(True))
+    for x in s1[:5]:
+        assert bool(jnp.isfinite(x).all())
+
+
 def test_terrain_hydrostatic_balance():
     """A balanced isentropic atmosphere over a RESOLVED cosine hill stays
     balanced through full HEVI steps: w excited only at truncation level and
