@@ -71,6 +71,9 @@ class LocalOps(SpaceOps):
         self.periodic = bool(mesh.get('periodic'))
         import os as _os
         self.pallas_dss = bool(int(_os.environ.get("MIMSEM_PALLAS_DSS", "0")))
+        # concat-form DSS cores (one fused output expression instead of
+        # chained dynamic-update-slice passes); A/B knob, see _dss1_concat
+        self.concat_dss = bool(int(_os.environ.get("MIMSEM_CONCAT_DSS", "0")))
         p = self.p
         self._sh0 = (self.nf, self.ney, self.nex, p + 1, p + 1)
         self._sh1x = (self.nf, self.ney, self.nex, p, p + 1)
@@ -590,7 +593,53 @@ class LocalOps(SpaceOps):
             return self.spmd.dss1(vl.reshape(-1)).reshape(vl.shape)
         if self.pallas_dss:
             return self._dss1_pallas(vl)
+        if self.concat_dss:
+            return self._dss1_concat(vl)
         return self._dss1_core(vl)
+
+    def _dss1_concat(self, vl):
+        """Concat-form dss1: bit-identical arithmetic to _dss1_core, but the
+        strip writes are expressed as ONE pure concatenation along the
+        updated lane axis instead of chained `.at[].set` passes.  Each
+        `.at[].set` lowers to a dynamic-update-slice kernel that rewrites
+        the full local array through HBM (ROOFLINE.md: 9.9 ms/step at sw48,
+        the single largest op); a concat expression hands XLA the whole
+        output as one fusible value."""
+        p, np1 = self.p, self.p + 1
+        n1loc = self.n1loc
+        v = vl.reshape(self.nel, 2 * n1loc)
+        v1x = v[:, :n1loc].reshape(self._sh1x)
+        v1y = v[:, n1loc:].reshape(self._sh1y)
+        # x-family: shared east-west lanes live at [..., 0] and [..., p]
+        s = v1x[:, :, :-1, :, p] + v1x[:, :, 1:, :, 0]
+        if self.periodic:
+            sw = v1x[:, :, -1, :, p] + v1x[:, :, 0, :, 0]
+            lane0 = jnp.concatenate([sw[:, :, None], s], axis=2)
+            lanep = jnp.concatenate([s, sw[:, :, None]], axis=2)
+        else:
+            lane0 = jnp.concatenate([v1x[:, :, :1, :, 0], s], axis=2)
+            lanep = jnp.concatenate([s, v1x[:, :, -1:, :, p]], axis=2)
+        v1x = jnp.concatenate([lane0[..., None], v1x[..., 1:p],
+                               lanep[..., None]], axis=-1)
+        # y-family: shared north-south lanes at [..., 0, :] and [..., p, :]
+        s = v1y[:, :-1, :, p, :] + v1y[:, 1:, :, 0, :]
+        if self.periodic:
+            sw = v1y[:, -1, :, p, :] + v1y[:, 0, :, 0, :]
+            lane0 = jnp.concatenate([sw[:, None], s], axis=1)
+            lanep = jnp.concatenate([s, sw[:, None]], axis=1)
+        else:
+            lane0 = jnp.concatenate([v1y[:, :1, :, 0, :], s], axis=1)
+            lanep = jnp.concatenate([s, v1y[:, -1:, :, p, :]], axis=1)
+        v1y = jnp.concatenate([lane0[:, :, :, None], v1y[:, :, :, 1:p],
+                               lanep[:, :, :, None]], axis=-2)
+        out = jnp.concatenate([v1x.reshape(self.nel, n1loc),
+                               v1y.reshape(self.nel, n1loc)], axis=1)
+        if self.periodic:
+            return out.reshape(vl.shape)
+        out = out.reshape(-1)
+        ex = out[self._x1_idx] + self._x1_sgn * out[self._x1_pid]
+        out = out.at[self._x1_idx].set(ex)
+        return out.reshape(vl.shape)
 
     def _dss1_core(self, vl):
         p, np1 = self.p, self.p + 1
@@ -667,7 +716,46 @@ class LocalOps(SpaceOps):
             return self.spmd.dss0(vl.reshape(-1)).reshape(vl.shape)
         if self.pallas_dss:
             return self._dss0_pallas(vl)
+        if self.concat_dss:
+            return self._dss0_concat(vl)
         return self._dss0_core(vl)
+
+    def _dss0_concat(self, vl):
+        """Concat-form dss0 (see _dss1_concat).  The x-direction completes
+        (interior + wrap) before y starts, preserving _dss0_core's corner
+        summation order bit-for-bit; both passes read only slots the other
+        does not write, so each is one pure concat expression."""
+        p, np1 = self.p, self.p + 1
+        v0 = vl.reshape(self._sh0)
+        s = v0[:, :, :-1, :, p] + v0[:, :, 1:, :, 0]
+        if self.periodic:
+            sw = v0[:, :, -1, :, p] + v0[:, :, 0, :, 0]
+            lane0 = jnp.concatenate([sw[:, :, None], s], axis=2)
+            lanep = jnp.concatenate([s, sw[:, :, None]], axis=2)
+        else:
+            lane0 = jnp.concatenate([v0[:, :, :1, :, 0], s], axis=2)
+            lanep = jnp.concatenate([s, v0[:, :, -1:, :, p]], axis=2)
+        v0 = jnp.concatenate([lane0[..., None], v0[..., 1:p],
+                              lanep[..., None]], axis=-1)
+        s = v0[:, :-1, :, p, :] + v0[:, 1:, :, 0, :]
+        if self.periodic:
+            sw = v0[:, -1, :, p, :] + v0[:, 0, :, 0, :]
+            lane0 = jnp.concatenate([sw[:, None], s], axis=1)
+            lanep = jnp.concatenate([s, sw[:, None]], axis=1)
+        else:
+            lane0 = jnp.concatenate([v0[:, :1, :, 0, :], s], axis=1)
+            lanep = jnp.concatenate([s, v0[:, -1:, :, p, :]], axis=1)
+        v0 = jnp.concatenate([lane0[:, :, :, None], v0[:, :, :, 1:p],
+                              lanep[:, :, :, None]], axis=-2)
+        if self.periodic:
+            return v0.reshape(vl.shape)
+        v = v0.reshape(-1)
+        ex = v[self._x0_idx] + v[self._x0_pid]
+        v = v.at[self._x0_idx].set(ex)
+        g = v[self._xv_idx]
+        tot = (g[:, 0] + g[:, 1]) + g[:, 2]
+        v = v.at[self._xv_idx].set(tot[:, None])
+        return v.reshape(vl.shape)
 
     def _dss0_core(self, vl):
         p, np1 = self.p, self.p + 1

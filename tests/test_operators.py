@@ -229,3 +229,28 @@ def test_discrete_leibniz_identity_quadrature_limited():
     # measured (f64): 1.77e-2 at ne=3 -> 2.58e-4 at ne=6 (~6th order)
     assert d3 < 0.05, d3
     assert d6 < d3 / 16.0, (d3, d6)
+
+
+def test_concat_dss_bitexact():
+    """The concat-form DSS cores (one fused output expression; perf
+    formulation targeting the dynamic-update-slice cost, ROOFLINE.md) must
+    be BIT-identical to the slicing cores on both mesh families."""
+    import jax
+    from mimsem_tpu.basis import make_basis
+    from mimsem_tpu.mesh.cubed_sphere import cubed_sphere_mesh
+    from mimsem_tpu.mesh.box import periodic_box_mesh
+    from mimsem_tpu.mesh.topology import build_topology
+    from mimsem_tpu.mesh.geometry import build_geometry
+    from mimsem_tpu.ops.local_form import LocalOps
+    p = 3
+    for mesh_fn in (lambda: cubed_sphere_mesh(3), lambda: periodic_box_mesh(4)):
+        mesh = mesh_fn()
+        topo = build_topology(mesh, p)
+        basis = make_basis(p)
+        geom = build_geometry(mesh, basis)
+        ops = LocalOps(topo, basis, geom, mesh, dtype=jnp.float32)
+        k = jax.random.PRNGKey(1)
+        v1 = jax.random.normal(k, (ops.nel, 2 * ops.n1loc), jnp.float32)
+        v0 = jax.random.normal(k, (ops.nel, (p + 1) * (p + 1)), jnp.float32)
+        assert bool((ops._dss1_core(v1) == ops._dss1_concat(v1)).all())
+        assert bool((ops._dss0_core(v0) == ops._dss0_concat(v0)).all())
