@@ -89,7 +89,8 @@ class SWEqn:
                  coriolis=None, nits: int = 2, gmres_tol: float = None,
                  gmres_restart: int = None, gmres_maxiter: int = None,
                  q_exact: bool = False, q_block: bool = False,
-                 h_base=None, bot_fn=None, helm_solver: str = "richardson"):
+                 q_supg: bool = False, h_base=None, bot_fn=None,
+                 helm_solver: str = "richardson"):
         self.ops = ops
         self.dt = dt
         self.grav = grav
@@ -106,6 +107,14 @@ class SWEqn:
         # src/SWEqn_Picard.cpp:1361-1478) instead of the midpoint lumped PV.
         self.q_exact = q_exact or q_block
         self.q_block = q_block
+        # q_supg: the SUPG-anticipated PV rotational variant
+        # (RotMat_up::assemble_supg, src/Assembly.cpp:1854-1926, the
+        # reference's UP_APVM residual branch, src/SWEqn_Picard.cpp:487-510):
+        # pointwise q* = q - tau (u x grad q + dq/dt) fed to the SAME
+        # antisymmetric cross-product pairing, tau = UP_TAU*dt, with the
+        # time term differenced cross-state ((q_i - q_j)/-dt at state i,
+        # (q_j - q_i)/+dt at state j).
+        self.q_supg = q_supg
         f64 = ops.dtype == jnp.float64
         if gmres_tol is None:
             gmres_tol = 1e-12 if f64 else 2e-6
@@ -279,6 +288,24 @@ class SWEqn:
             qm, _ = self.diagnose_q(ui + 0.5 * duj, 0.5 * (hqi + hqj),
                                     upwind=False)
             wq = ops.interp0(qm) * ops.W
+        elif self.q_supg:
+            # SUPG-anticipated PV (the reference's UP_APVM branch,
+            # src/SWEqn_Picard.cpp:487-510): per state, pointwise
+            # q* = q - tau (u x grad q + dq/dt), cross-state time difference
+            qi, _ = self.diagnose_q(ui, hqi, upwind=False)
+            qj, _ = self.diagnose_q(uj, hqj, upwind=False)
+            tau = self.up_tau * dt
+            qip, qjp = ops.interp0(qi), ops.interp0(qj)
+
+            def q_star(q0p, u, dq1, dqdt):
+                up = ops.interp1_phys(u)
+                dqp = ops.interp1_phys(dq1)
+                cross = up[..., 0] * dqp[..., 1] - up[..., 1] * dqp[..., 0]
+                return q0p - tau * (cross + dqdt)
+
+            dtt = (qjp - qip) / dt          # shared d(q)/dt estimate
+            wq = 0.5 * (q_star(qip, ui, ops.e10(qi), dtt)
+                        + q_star(qjp, uj, ops.e10(qj), dtt)) * ops.W
         else:
             qi, Pi = self.diagnose_q(ui, hqi, upwind=True)
             qj, Pj = self.diagnose_q(uj, hqj, upwind=True)

@@ -115,3 +115,21 @@ def test_rosenbrock_cn_w2_steady():
     c1 = sw.conservation(u, hp)
     assert float(n1["h"][1]) < 3.0 * float(n0["h"][1]) + 1e-6
     assert abs(float((c1["mass"] - c0["mass"]) / c0["mass"])) < 1e-12
+
+
+def test_swe_supg_pv_scheme():
+    """The SUPG-anticipated PV rotational variant (q_supg;
+    RotMat_up::assemble_supg, src/Assembly.cpp:1854-1926, wired as the
+    reference's UP_APVM residual branch, src/SWEqn_Picard.cpp:487-510):
+    pointwise q* = q - tau (u x grad q + dq/dt) in the same antisymmetric
+    pairing.  On the W2 steady state it must hold the state as well as the
+    other PV schemes (drift at the discretization level, not growing)."""
+    import jax
+    from mimsem_tpu.testcases import williamson2 as w2
+    sw, u, h = w2.build(ne=4, p=3, dt=600.0, dtype=jnp.float64,
+                        q_exact=False, q_supg=True)
+    assert sw.q_supg and not sw.q_exact
+    u1, h1 = jax.jit(lambda a, b: sw.run_steps(a, b, 3))(u, h)
+    assert bool(jnp.isfinite(u1).all() and jnp.isfinite(h1).all())
+    du = float(jnp.linalg.norm(u1 - u) / jnp.linalg.norm(u))
+    assert du < 1e-3, du
