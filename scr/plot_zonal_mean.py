@@ -88,6 +88,10 @@ def main():
     out = args.out or os.path.join(args.outdir,
                                    f"zonal_mean_{args.field}.png")
     fig.savefig(out, dpi=150, bbox_inches="tight")
+    # machine-readable companion so oracle tests can pin the climatology
+    # (e.g. the Held-Suarez westerly jets) without re-binning dumps
+    np.savez(out.rsplit(".", 1)[0] + ".npz", mean=mean, lat_deg=latc,
+             z_km=zkm, dumps=np.asarray([d0, d1, len(paths)]))
     print(out)
 
 
