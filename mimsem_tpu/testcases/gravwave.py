@@ -82,6 +82,12 @@ def theta_prime(x, z):
 def build(ne: int = 6, p: int = 3, nk: int = 16, dt: float = 0.5, dtype=None,
           el_sharding=None, **kw):
     kw.setdefault('rayleigh', 4.0 / 120.0)  # eul/VertSolve.cpp:32
+    # the reference constructs HorizSolve with do_visc = true for EVERY eul
+    # driver (eul/HorizSolve.cpp:35) -- GravWave included.  Running this
+    # case inviscid (round 4) grows the under-resolved wave train ~2x/15min
+    # until NaN at t~2700 s; the Guba del2 = -sqrt(0.072 dx^3.2) coefficient
+    # scales with the reduced-planet dx automatically.
+    kw.setdefault('do_visc', True)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mesh = cubed_sphere_mesh(ne, radius=RAD)
