@@ -67,6 +67,10 @@ def main():
     out = args.out or os.path.join(os.path.dirname(args.path),
                                    "theta_prime_xsec.png")
     fig.savefig(out, dpi=140, bbox_inches="tight")
+    # machine-readable companion (pattern: scr/plot_zonal_mean.py) so
+    # tests/test_run_oracles.py can pin the split-wave-train structure
+    np.savez_compressed(out.replace(".png", ".npz"),
+                        lon=xi, z=zi, theta_prime=vi)
     print(f"wrote {out}  (max |theta'| = {lim:.4f} K)")
 
 

@@ -94,6 +94,10 @@ def main():
     out = args.out or os.path.join(os.path.dirname(args.path),
                                    "mountain_wave_w.png")
     fig.savefig(out, dpi=140, bbox_inches="tight")
+    # machine-readable companion for tests/test_run_oracles.py
+    np.savez_compressed(out.replace(".png", ".npz"),
+                        lam_meas=lam_meas, lam_theory=lam_theory,
+                        z=zg, w_crest=pg, x=xi, zi=zi, w=vi)
     print(f"wrote {out}")
     print(f"lambda_z measured {lam_meas/1e3:.3f} km, "
           f"theory {lam_theory/1e3:.3f} km, "

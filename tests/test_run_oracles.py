@@ -1,0 +1,103 @@
+"""Artifact-envelope oracles for the three reference-scale runs closed in
+round 5: the DCMIP31 gravity wave (eul/GravWave.cpp:25,195-196: NK=16,
+dt=0.5 s, 1 h), the box warm bubble (box/Bubble.cpp:24-32,135-137: NK=150,
+dt=0.01 s, 400 s) and the terrain mountain wave (capability demo for
+eul/Geom.cpp:743-761 terrain-following levels).
+
+Pattern follows tests/test_umjs14_oracle.py / test_held_suarez_oracle.py:
+the COMMITTED artifacts must satisfy physically-motivated envelopes; each
+test SKIPs while its run is still in flight so the suite stays green
+during production.
+"""
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------- GravWave
+def _gw_series():
+    p = os.path.join(ROOT, "demo", "gravwave", "series.dat")
+    if not os.path.exists(p):
+        pytest.skip("gravwave series not present")
+    s = np.loadtxt(p)
+    if s.ndim == 1:
+        s = s[None, :]
+    return s
+
+
+def test_gravwave_stability_envelope():
+    """The r4 run grew |w|max 4.6 -> 63 m/s by t=2700 s and NaN'd (VERDICT
+    r4 missing #2); with the reference's do_visc biharmonic on, the linear
+    wave train must stay bounded through the full hour."""
+    s = _gw_series()
+    t, wmax, drift = s[:, 0], s[:, 1], s[:, 2]
+    if t[-1] < 3599.0:
+        pytest.skip(f"run in flight (t={t[-1]:.0f} s)")
+    assert np.all(np.isfinite(wmax))
+    # no runaway: the late-time amplitude stays within the envelope of the
+    # early (established) wave train rather than growing exponentially
+    early = wmax[t <= 1800.0].max()
+    assert wmax[-1] < 2.0 * early, f"w runaway: {wmax[-1]:.2f} vs {early:.2f}"
+    assert np.abs(drift).max() < 1e-5, "mass conservation envelope"
+
+
+def test_gravwave_split_wave_train():
+    """DCMIP31 diagnostic: by t=3600 s the initial bump at lam_c=120E has
+    radiated trains far around the reduced planet; theta' stays O(the 1 K
+    forcing) and has coherent amplitude >60 deg away from the source."""
+    p = os.path.join(ROOT, "demo", "gravwave", "theta_prime_xsec.npz")
+    if not os.path.exists(p):
+        pytest.skip("gravwave cross-section companion not present")
+    d = np.load(p)
+    lon, tp = d["lon"], d["theta_prime"]            # (nz, nlon)
+    amp = np.nanmax(np.abs(tp))
+    assert 0.01 < amp < 2.0, f"theta' amplitude {amp:.3f} K out of envelope"
+    lam_c = 2.0 * np.pi / 3.0
+    dist = np.abs(np.angle(np.exp(1j * (lon - lam_c))))
+    far = np.nanmax(np.abs(tp[:, dist > np.radians(60.0)]))
+    assert far > 0.1 * amp, "wave train has not propagated away from source"
+
+
+# ----------------------------------------------------------------- Bubble
+def test_bubble_rise_envelope():
+    """NK=150 reference-scale rising bubble: the +0.5 K thermal must ascend
+    from z=350 m and stay within the initial-amplitude envelope (advective
+    dynamics; no spectral blowup) with mass exactly conserved."""
+    p = os.path.join(ROOT, "demo", "bubble", "series.dat")
+    if not os.path.exists(p):
+        pytest.skip("bubble series not present")
+    s = np.loadtxt(p)
+    if s.ndim == 1:
+        s = s[None, :]
+    t, thmax, zc, wmax, drift = (s[:, i] for i in range(5))
+    if t[-1] < 399.0:
+        pytest.skip(f"run in flight (t={t[-1]:.0f} s)")
+    assert np.all(np.isfinite(thmax))
+    assert zc[-1] > zc[0] + 200.0, f"bubble did not rise: {zc[0]:.0f}->{zc[-1]:.0f} m"
+    assert 0.05 < thmax[-1] < 1.5, f"theta' out of envelope: {thmax[-1]:.2f} K"
+    assert np.abs(drift).max() < 1e-5, "mass conservation envelope"
+
+
+# ---------------------------------------------------------- Mountain wave
+def test_mountain_wave_linear_theory():
+    """Terrain validation (VERDICT r4 missing #4): measured vertical
+    wavelength of the steady wave train over the crest must match linear
+    theory lambda_z = 2 pi U0/N (Smith 1980) and |w| must saturate at the
+    linear-forcing scale U0*H0/A, not grow impulsively."""
+    out = os.path.join(ROOT, "demo", "mountain_wave")
+    p = os.path.join(out, "mountain_wave_w.npz")
+    if not os.path.exists(p):
+        pytest.skip("mountain-wave companion not present")
+    d = np.load(p)
+    lam, lam_th = float(d["lam_meas"]), float(d["lam_theory"])
+    assert np.isfinite(lam)
+    assert 0.7 < lam / lam_th < 1.3, f"lambda_z {lam:.0f} vs theory {lam_th:.0f}"
+    s = np.loadtxt(os.path.join(out, "series.dat"))
+    if s.ndim == 1:
+        s = s[None, :]
+    wmax, drift = s[:, 1], s[:, 2]
+    assert wmax[-1] < 3.0 * 0.4, f"w did not saturate: {wmax[-1]:.2f} m/s"
+    assert np.abs(drift).max() < 1e-5, "mass conservation envelope"
