@@ -62,8 +62,10 @@ def test_umjs14_artifact_envelope():
 
 
 def test_umjs14_short_trajectory_pin():
-    """6-step ne=4/nk=8 f64 energetics pinned at commit e63e38b (flux-form
-    dynamics + weighted-Schwarz Richardson solves)."""
+    """6-step ne=4/nk=8 f64 energetics pinned at commit 2832dba (flux-form
+    dynamics + weighted-Schwarz Richardson solves + the reference-parity
+    biharmonic dx = sqrt(area/(nel p^2)), which moved keh/umax by ~2e-5
+    from the e63e38b pins)."""
     import jax
     if not jax.config.jax_enable_x64:
         pytest.skip("needs x64")
@@ -76,11 +78,11 @@ def test_umjs14_short_trajectory_pin():
         state, _ = eul.step_ec(state)
     velx, w, rho, rt, exner = state[:5]
     e = eul.energetics_ec(velx, w, rho, rt, exner)
-    pinned = dict(keh=4.032639566065e+20, kev=3.668233804882e+17,
-                  pe=3.619381266847e+23, ie=9.156209712473e+23,
+    pinned = dict(keh=4.032565367274e+20, kev=3.668233863695e+17,
+                  pe=3.619381266840e+23, ie=9.156209712451e+23,
                   mass=5.129584059396e+18, entr=2.857127090451e+23)
     for k, v in pinned.items():
         rel = abs(float(e[k]) / v - 1.0)
         assert rel < 1e-6, (k, float(e[k]), v, rel)
-    assert abs(float(jnp.max(jnp.abs(w))) / 1.368294999968e+12 - 1.0) < 1e-4
-    assert abs(float(jnp.max(jnp.abs(velx))) / 1.126751998155e+11 - 1.0) < 1e-4
+    assert abs(float(jnp.max(jnp.abs(w))) / 1.368294919118e+12 - 1.0) < 1e-4
+    assert abs(float(jnp.max(jnp.abs(velx))) / 1.126727943788e+11 - 1.0) < 1e-4
