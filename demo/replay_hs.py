@@ -40,6 +40,11 @@ def main():
     dtype = jnp.float64 if "f64" in variant else jnp.float32
     if "f64" in variant:
         jax.config.update("jax_enable_x64", True)
+    if "fr" in variant:
+        # mixed precision: f32 state/blocks, f64 vertical residual assembly
+        # (Euler3D f64_resid; needs x64 for the f64 branch to exist)
+        jax.config.update("jax_enable_x64", True)
+        kw.update(f64_resid=True)
     if "it8" in variant:
         kw.update(newton_iters=8)
     if "full8" in variant:
@@ -48,6 +53,15 @@ def main():
         kw.update(do_temp_visc=True)
     if "nof" in variant:
         kw.update(hs_forcing=False)
+    if "ray8" in variant:
+        # deeper Rayleigh absorber (8 graded interfaces, as mountain_wave):
+        # the day-49.7 collapse pumps a rho/theta 2dz zigzag with |w|~1 m/s
+        # at interfaces 6-10, below the reference's 3-interface sponge
+        kw.update(rayleigh_levels=8)
+    if "notv" in variant:
+        kw.update(do_temp_visc=False)
+    if "noup" in variant:
+        kw.update(theta_upwind=False)
     dt = 60.0 if "dt60" in variant else 120.0
 
     from mimsem_tpu.testcases import held_suarez
