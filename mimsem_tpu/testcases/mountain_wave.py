@@ -91,7 +91,15 @@ def build(ne: int = 12, p: int = 3, nk: int = 42, dt: float = 4.0,
     levs = terrain_following_levels(zl, np.asarray(topog(ll[..., 0],
                                                          ll[..., 1])))
     vo = VerticalOps(ops, levs)
-    eul = Euler3D(ops, vo, dt=dt, do_visc=False, rayleigh=rayleigh,
+    # biharmonic momentum viscosity ON (the eul-driver default,
+    # eul/HorizSolve.cpp:35): the first inviscid run of this case grew a
+    # lee-slope near-surface shear instability from |w| 1.2 -> 55 m/s over
+    # hours 3-5 and NaN'd -- the same failure family as the round-4
+    # inviscid GravWave (demo/mountain_wave summary).  The box Bubble
+    # reference disables viscosity for its 400 s convective scale; a 6 h
+    # stratified shear flow is the regime the knob exists for.
+    kw.setdefault('do_visc', True)
+    eul = Euler3D(ops, vo, dt=dt, rayleigh=rayleigh,
                   rayleigh_levels=sponge_levels, **kw)
 
     rho = eul.project_layers(rho_init)
